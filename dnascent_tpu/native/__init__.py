@@ -1,0 +1,147 @@
+"""ctypes loader (with on-demand build) for the dnascent_native C++ library.
+
+The library provides the host-side sequential pieces that map poorly onto
+XLA: the scrappie event FSM, banded backtrace, and libstdc++-exact RNG
+streams.  Every entry point has a numpy fallback elsewhere in the package, so
+import failure degrades gracefully (slower, not broken).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "dnascent_native.cpp")
+_LIB = os.path.join(_HERE, "libdnascent_native.so")
+
+_lib = None
+_load_error: Exception | None = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+        "-fopenmp", _SRC, "-o", _LIB,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _load_error
+    if _lib is not None:
+        return _lib
+    try:
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+
+        i64 = ctypes.c_int64
+        u32 = ctypes.c_uint32
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+        lib.event_detect_single.restype = i64
+        lib.event_detect_single.argtypes = [
+            f64p, i64, i64, i64, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, f64p, i64p, i64p, i64, i64p,
+        ]
+        lib.banded_backtrace.restype = None
+        lib.banded_backtrace.argtypes = [
+            u8p, u8p, i64, i64, i64, i64, i64,
+            f64p, f32p, f32p, f32p, f32p, i64p, i64p, i64,
+            i64p, i64, f64p, i64p, f64p,
+        ]
+        lib.seebreaks_simulation.restype = None
+        lib.seebreaks_simulation.argtypes = [
+            i64p, i64p, i64, i64p, i64, i64, i64, u32, i64, i64, f64p,
+        ]
+        lib.seebreaks_observation.restype = None
+        lib.seebreaks_observation.argtypes = [u8p, i64, u32, i64, f64p]
+        lib.seebreaks_difference.restype = None
+        lib.seebreaks_difference.argtypes = [
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            i64, u32, f64p,
+        ]
+        _lib = lib
+    except Exception as e:  # pragma: no cover
+        _load_error = e
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def get_lib():
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"dnascent_native unavailable: {_load_error}")
+    return lib
+
+
+# ---------------------------------------------------------------------------
+# High-level wrappers
+# ---------------------------------------------------------------------------
+
+def event_detect(raw: np.ndarray, w1: int = 3, w2: int = 6,
+                 thresh1: float = 1.4, thresh2: float = 9.0,
+                 peak_height: float = 0.2):
+    """Native event detection + merge.  Returns (mean, raw_start, raw_end,
+    et_n) mirroring ops.reference.merge_events(detect_events(raw))."""
+    lib = get_lib()
+    raw = np.ascontiguousarray(raw, dtype=np.float64)
+    n = raw.shape[0]
+    max_out = n + 1
+    mean = np.empty(max_out, dtype=np.float64)
+    start = np.empty(max_out, dtype=np.int64)
+    end = np.empty(max_out, dtype=np.int64)
+    et_n = np.zeros(1, dtype=np.int64)
+    m = lib.event_detect_single(raw, n, w1, w2, np.float32(thresh1),
+                                np.float32(thresh2), np.float32(peak_height),
+                                mean, start, end, max_out, et_n)
+    return mean[:m].copy(), start[:m].copy(), end[:m].copy(), int(et_n[0])
+
+
+def banded_backtrace(trace: np.ndarray, rights: np.ndarray, n_bands: int,
+                     bandwidth: int, n_events: int, n_kmers: int,
+                     best_event: int, event_means: np.ndarray,
+                     scaled_events: np.ndarray, mu: np.ndarray,
+                     inv_sigma: np.ndarray, lp_const: np.ndarray,
+                     query_to_ref: np.ndarray, kmer_ranks_ref: np.ndarray):
+    """Native banded backtrace.  Returns (pairs (n,2), cleaned_signals,
+    cleaned_ranks, avg_log_emission, spanned, max_gap)."""
+    lib = get_lib()
+    max_pairs = n_events + n_kmers + 2
+    pairs = np.empty(max_pairs * 2, dtype=np.int64)
+    cs = np.empty(max_pairs, dtype=np.float64)
+    cr = np.empty(max_pairs, dtype=np.int64)
+    stats = np.zeros(5, dtype=np.float64)
+    lib.banded_backtrace(
+        np.ascontiguousarray(trace, dtype=np.uint8),
+        np.ascontiguousarray(rights, dtype=np.uint8),
+        n_bands, bandwidth, n_events, n_kmers, best_event,
+        np.ascontiguousarray(event_means, dtype=np.float64),
+        np.ascontiguousarray(scaled_events, dtype=np.float32),
+        np.ascontiguousarray(mu, dtype=np.float32),
+        np.ascontiguousarray(inv_sigma, dtype=np.float32),
+        np.ascontiguousarray(lp_const, dtype=np.float32),
+        np.ascontiguousarray(query_to_ref, dtype=np.int64),
+        np.ascontiguousarray(kmer_ranks_ref, dtype=np.int64),
+        int(kmer_ranks_ref.shape[0]),
+        pairs, max_pairs, cs, cr, stats,
+    )
+    n_pairs = int(stats[3])
+    n_cleaned = int(stats[4])
+    m = min(n_pairs, max_pairs)
+    return (pairs[: 2 * m].reshape(-1, 2).copy(), cs[:n_cleaned].copy(),
+            cr[:n_cleaned].copy(), float(stats[0]), bool(stats[1]),
+            int(stats[2]))

@@ -1,0 +1,309 @@
+// dnascent_native — host-side C++ support for the DNAscent-TPU framework.
+//
+// The TPU does the dense numeric work (banded fill, Viterbi fill, CNN); this
+// library supplies the cheap-but-sequential host pieces that map poorly onto
+// XLA: the scrappie event-detection FSM, the banded-DP backtrace pointer
+// chase, and libstdc++-exact RNG streams for seeBreaks parity.
+//
+// Plain C ABI, loaded through ctypes.  Built by native/build.py.
+//
+// Algorithm citations refer to /root/reference (MBoemo/DNAscent v4.1.1).
+
+#include <algorithm>
+#include <cfloat>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Event detection (mirrors src/scrappie/event_detection.c)
+// ---------------------------------------------------------------------------
+
+// t-stat with two windows + short/long peak FSM + event merge as done by
+// normaliseEvents (event_handling.cpp:544-575).  Outputs the *merged* events:
+// first event carries mean 0.0 and the final raw event is dropped, mirroring
+// the reference's lag quirk.
+//
+// Returns number of merged events written (<= max_out).  raw_n is the signal
+// length; outputs: mean (f64), raw_start/raw_end (i64, inclusive).
+// et_n_out receives the raw event count (for eventsPerBase).
+int64_t event_detect_single(const double* raw, int64_t raw_n,
+                            int64_t w1, int64_t w2,
+                            float thresh1, float thresh2, float peak_height,
+                            double* out_mean, int64_t* out_start,
+                            int64_t* out_end, int64_t max_out,
+                            int64_t* et_n_out) {
+    if (raw_n <= 0) { *et_n_out = 0; return 0; }
+    std::vector<double> sums(raw_n + 1), sumsqs(raw_n + 1);
+    sums[0] = 0.0; sumsqs[0] = 0.0;
+    for (int64_t i = 0; i < raw_n; ++i) {
+        sums[i + 1] = sums[i] + raw[i];
+        sumsqs[i + 1] = sumsqs[i] + raw[i] * raw[i];
+    }
+
+    auto tstat = [&](int64_t w, std::vector<float>& out) {
+        out.assign(raw_n, 0.0f);
+        if (raw_n < 2 * w || w < 2) return;
+        const float eta = FLT_MIN;
+        const float wf = (float)w;
+        for (int64_t i = w; i <= raw_n - w; ++i) {
+            double sum1 = sums[i], sumsq1 = sumsqs[i];
+            if (i > w) { sum1 -= sums[i - w]; sumsq1 -= sumsqs[i - w]; }
+            float sum2 = (float)(sums[i + w] - sums[i]);
+            float sumsq2 = (float)(sumsqs[i + w] - sumsqs[i]);
+            float mean1 = sum1 / wf, mean2 = sum2 / wf;
+            float cv = sumsq1 / wf - mean1 * mean1 + sumsq2 / wf - mean2 * mean2;
+            cv = std::max(cv, eta);
+            out[i] = std::fabs(mean2 - mean1) / std::sqrt(cv / wf);
+        }
+    };
+    std::vector<float> t1, t2;
+    tstat(w1, t1);
+    tstat(w2, t2);
+
+    // short/long peak detector (event_detection.c:122-198)
+    struct Det {
+        const float* sig; float threshold; int64_t window;
+        int64_t masked_to; int64_t peak_pos; float peak_value; bool valid;
+    };
+    Det det[2] = {
+        {t1.data(), thresh1, w1, 0, -1, FLT_MAX, false},
+        {t2.data(), thresh2, w2, 0, -1, FLT_MAX, false},
+    };
+    std::vector<int64_t> peaks;
+    peaks.reserve(raw_n / 4);
+    for (int64_t i = 0; i < raw_n; ++i) {
+        for (int k = 0; k < 2; ++k) {
+            Det& d = det[k];
+            if (d.masked_to >= i) continue;
+            float cur = d.sig[i];
+            if (d.peak_pos == -1) {
+                if (cur < d.peak_value) d.peak_value = cur;
+                else if (cur - d.peak_value > peak_height) {
+                    d.peak_value = cur; d.peak_pos = i;
+                }
+            } else {
+                if (cur > d.peak_value) { d.peak_value = cur; d.peak_pos = i; }
+                if (k == 0 && d.peak_value > d.threshold) {
+                    det[1].masked_to = d.peak_pos + d.window;
+                    det[1].peak_pos = -1; det[1].peak_value = FLT_MAX;
+                    det[1].valid = false;
+                }
+                if (d.peak_value - cur > peak_height && d.peak_value > d.threshold)
+                    d.valid = true;
+                if (d.valid && (i - d.peak_pos) > d.window / 2) {
+                    peaks.push_back(d.peak_pos);
+                    d.peak_pos = -1; d.peak_value = cur; d.valid = false;
+                }
+            }
+        }
+    }
+
+    // create_events (event_detection.c:234-266)
+    std::vector<int64_t> bounds;
+    bounds.reserve(peaks.size() + 2);
+    bounds.push_back(0);
+    for (int64_t p : peaks) if (p > 0 && p < raw_n) bounds.push_back(p);
+    bounds.push_back(raw_n);
+    int64_t et_n = (int64_t)bounds.size() - 1;
+    *et_n_out = et_n;
+
+    // merged events (event_handling.cpp:550-575): faithful lag quirk
+    int64_t n_out = 0;
+    int64_t raw_start = 0;
+    double mean = 0.0;
+    for (int64_t i = 0; i < et_n; ++i) {
+        int64_t s = bounds[i], e = bounds[i + 1];
+        double m = (sums[e] - sums[s]) / (double)(e - s);
+        // float cast as in create_event (event_detection.c:226)
+        float mf = (float)m;
+        if (mf > 0.0f) {
+            if (i > 0) {
+                if (n_out >= max_out) break;
+                out_mean[n_out] = mean;
+                out_start[n_out] = raw_start;
+                out_end[n_out] = std::min(s - 1, raw_n - 1);
+                ++n_out;
+                mean = (double)mf;
+                raw_start = s;
+            }
+        }
+    }
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
+// Banded-DP backtrace (mirrors src/event_handling.cpp:318-443)
+// ---------------------------------------------------------------------------
+
+// Inputs come from the device fill kernel:
+//   trace: (n_bands-2, W) uint8 codes for bands 2..n_bands-1 (0=D,1=U,2=L)
+//   rights: (n_bands-2,) uint8 right/down decisions for bands 2..n_bands-1
+//   best_event: backtrace start event (device-computed argmax)
+// plus emission coefficients for QC statistics and the cleaned-signal
+// aggregation used by Theil-Sen (event_handling.cpp:352-394).
+//
+// query_to_ref: (n_kmers,) int64, -1 when the query position has no
+// reference match.
+//
+// Outputs (caller-allocated):
+//   pairs_out: (max_pairs*2,) int64 (event, kmer) ascending after reversal
+//   cleaned_signal_out / cleaned_rank_out: Theil-Sen inputs, backtrace order
+//   stats_out: [avg_log_emission, spanned, max_gap, n_pairs, n_cleaned]
+void banded_backtrace(const uint8_t* trace, const uint8_t* rights,
+                      int64_t n_bands, int64_t W,
+                      int64_t n_events, int64_t n_kmers,
+                      int64_t best_event,
+                      const double* event_means,
+                      const float* scaled_events,
+                      const float* mu, const float* inv_sigma,
+                      const float* lp_const,
+                      const int64_t* query_to_ref,
+                      const int64_t* kmer_ranks_ref, int64_t n_ref_kmers,
+                      int64_t* pairs_out, int64_t max_pairs,
+                      double* cleaned_signal_out, int64_t* cleaned_rank_out,
+                      double* stats_out) {
+    // reconstruct band lower-left events: bll_e[band]; band0=(half-1), band1=half
+    // bands 2.. advance by (1 - right)
+    std::vector<int64_t> bll_e(n_bands);
+    int64_t half = W / 2;
+    bll_e[0] = half - 1;
+    bll_e[1] = half;
+    for (int64_t b = 2; b < n_bands; ++b)
+        bll_e[b] = bll_e[b - 1] + (rights[b - 2] ? 0 : 1);
+
+    int64_t curr_event = best_event;
+    int64_t curr_kmer = n_kmers - 1;
+    double sum_emission = 0.0;
+    int64_t n_aligned = 0;
+    int64_t curr_gap = 0, max_gap = 0;
+    int64_t n_pairs = 0, n_cleaned = 0;
+
+    std::vector<double> signal_buffer;
+    signal_buffer.reserve(64);
+
+    while (curr_kmer >= 0 && curr_event >= 0) {
+        if (n_pairs < max_pairs) {
+            pairs_out[2 * n_pairs] = curr_event;
+            pairs_out[2 * n_pairs + 1] = curr_kmer;
+        }
+        ++n_pairs;
+        float a = (scaled_events[curr_event] - mu[curr_kmer]) * inv_sigma[curr_kmer];
+        sum_emission += (double)(lp_const[curr_kmer] - 0.5f * a * a);
+        ++n_aligned;
+
+        int64_t band_idx = (curr_event + 1) + (curr_kmer + 1);
+        int64_t offset = bll_e[band_idx] - curr_event;
+        uint8_t frm = (band_idx >= 2 && offset >= 0 && offset < W)
+                          ? trace[(band_idx - 2) * W + offset]
+                          : 0;
+        if (band_idx < 2) {
+            // bands 0/1 only contain start/trim cells; treat as U (trim)
+            frm = 1;
+        }
+        if (frm == 0) {  // FROM_D
+            signal_buffer.push_back(event_means[curr_event]);
+            int64_t pos_on_ref = query_to_ref[curr_kmer];
+            if (pos_on_ref >= 0 && pos_on_ref < n_ref_kmers) {
+                double s = 0.0;
+                for (double v : signal_buffer) s += v;
+                cleaned_signal_out[n_cleaned] = s / (double)signal_buffer.size();
+                cleaned_rank_out[n_cleaned] = kmer_ranks_ref[pos_on_ref];
+                ++n_cleaned;
+            }
+            signal_buffer.clear();
+            --curr_kmer;
+            --curr_event;
+            curr_gap = 0;
+        } else if (frm == 1) {  // FROM_U
+            signal_buffer.push_back(event_means[curr_event]);
+            --curr_event;
+            curr_gap = 0;
+        } else {  // FROM_L
+            --curr_kmer;
+            ++curr_gap;
+            if (curr_gap > max_gap) max_gap = curr_gap;
+        }
+    }
+    // reverse pairs in place to ascending order (event_handling.cpp:413)
+    int64_t m = std::min(n_pairs, max_pairs);
+    for (int64_t i = 0; i < m / 2; ++i) {
+        std::swap(pairs_out[2 * i], pairs_out[2 * (m - 1 - i)]);
+        std::swap(pairs_out[2 * i + 1], pairs_out[2 * (m - 1 - i) + 1]);
+    }
+    bool spanned = false;
+    if (m > 0)
+        spanned = (pairs_out[1] == 0) && (pairs_out[2 * (m - 1) + 1] == n_kmers - 1);
+    stats_out[0] = n_aligned ? sum_emission / (double)n_aligned : -INFINITY;
+    stats_out[1] = spanned ? 1.0 : 0.0;
+    stats_out[2] = (double)max_gap;
+    stats_out[3] = (double)n_pairs;
+    stats_out[4] = (double)n_cleaned;
+}
+
+// ---------------------------------------------------------------------------
+// libstdc++-exact RNG streams for seeBreaks parity (seeBreaks.cpp:430-502)
+// ---------------------------------------------------------------------------
+
+// Simulation bootstrap: for each of bs_iterations, draw nForks
+// (read, trackLength, start) triples and count run-offs
+// (seeBreaks.cpp:430-474).  Uses std::mt19937 + std::uniform_int_distribution
+// so results are bit-identical to the reference under libstdc++.
+void seebreaks_simulation(const int64_t* v5, const int64_t* v3, int64_t n_reads,
+                          const int64_t* fork_len, int64_t n_lens,
+                          int64_t n_forks, int64_t bs_iterations, uint32_t seed,
+                          int64_t fs_boundary, int64_t read_end_tolerance,
+                          double* out_run_off_props) {
+    std::mt19937 gen(seed);
+    for (int64_t i = 0; i < bs_iterations; ++i) {
+        int64_t run_off = 0;
+        for (int64_t j = 0; j < n_forks; ++j) {
+            std::uniform_int_distribution<> read_dist(0, (int)(n_reads - 1));
+            int64_t ri = read_dist(gen);
+            int64_t r5 = v5[ri], r3 = v3[ri];
+            std::uniform_int_distribution<> track_dist(0, (int)(n_lens - 1));
+            int64_t random_len = fork_len[track_dist(gen)];
+            std::uniform_int_distribution<> start_dist((int)(r5 + fs_boundary),
+                                                       (int)(r3 - fs_boundary));
+            int64_t start = start_dist(gen);
+            if (r3 - read_end_tolerance - start < random_len) ++run_off;
+        }
+        out_run_off_props[i] = (double)run_off / (double)n_forks;
+    }
+}
+
+// Observation bootstrap (seeBreaks.cpp:476-502).
+void seebreaks_observation(const uint8_t* run_off, int64_t n, uint32_t seed,
+                           int64_t bs_iterations, double* out_props) {
+    std::mt19937 gen(seed);
+    for (int64_t i = 0; i < bs_iterations; ++i) {
+        int64_t obs = 0, no_obs = 0;
+        for (int64_t j = 0; j < n; ++j) {
+            std::uniform_int_distribution<> dist(0, (int)(n - 1));
+            int64_t ri = dist(gen);
+            if (run_off[ri]) ++obs; else ++no_obs;
+        }
+        out_props[i] = (double)obs / (double)(obs + no_obs);
+    }
+}
+
+// Difference distribution (seeBreaks.cpp:592-599): normal draws with the
+// seeded generator.
+void seebreaks_difference(double obs_mean, double obs_std, double sim_mean,
+                          double sim_std, int64_t n, uint32_t seed,
+                          double* out_diff) {
+    std::mt19937 gen(seed);
+    for (int64_t i = 0; i < n; ++i) {
+        std::normal_distribution<double> obs_d(obs_mean, obs_std);
+        std::normal_distribution<double> sim_d(sim_mean, sim_std);
+        double a = obs_d(gen);
+        double b = sim_d(gen);
+        out_diff[i] = a - b;
+    }
+}
+
+}  // extern "C"
