@@ -1,0 +1,147 @@
+"""The detect CNN: per-position BrdU/EdU/thymidine classifier.
+
+The reference runs a TensorFlow SavedModel through the TF C API with three
+inputs and one output (reference: src/detect.cpp:577-732, src/tensor.cpp):
+
+  input 1: core sequence index, (1, L) — middle 5-mer of each 9-mer, base-4
+           encoded + 1 (reads.h:112-124)
+  input 2: residual sequence index, (1, L) — outer 4 bases + 1
+           (reads.h:125-138)
+  input 3: signal, (1, L, 20, 1) — up to RAWDEPTH=20 scaled raw samples per
+           reference position, zero padded (reads.h:147-172)
+  output:  (L, 3) probabilities ordered [unmodified-T, BrdU, EdU]
+           (detect.cpp:686-714)
+
+The SavedModel weights are not shipped in the reference mount (only
+variables.index survives), so this module defines a TPU-first architecture
+with the same interface — embeddings for the two sequence streams, a masked
+encoder over the 20 raw samples, and a dilated residual convolution stack
+(local receptive field ~500 positions, so ultra-long reads can be
+sequence-sharded with a halo) — plus a training loop entry point so the
+model can be fit from trainCNN-style labelled data.
+
+All dense/conv compute runs in bfloat16 on the MXU with float32 parameters
+and a float32 softmax head.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CORE_VOCAB = 4 ** 5 + 2      # +1 shift, 0 reserved for padding
+RESIDUAL_VOCAB = 4 ** 4 + 2
+RAWDEPTH = 20                # reads.h:12
+N_CLASSES = 3                # [unmodified-T, BrdU, EdU]
+
+
+class ConvBlock(nn.Module):
+    """Pre-norm dilated residual conv block (runs on the MXU in bf16)."""
+
+    features: int
+    kernel: int = 5
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(dtype=jnp.float32)(x)
+        h = h.astype(jnp.bfloat16)
+        h = nn.Conv(self.features, (self.kernel,),
+                    kernel_dilation=(self.dilation,),
+                    dtype=jnp.bfloat16, param_dtype=jnp.float32)(h)
+        h = nn.gelu(h)
+        h = nn.Conv(self.features, (1,), dtype=jnp.bfloat16,
+                    param_dtype=jnp.float32)(h)
+        return x + h.astype(x.dtype)
+
+
+class DetectCNN(nn.Module):
+    """Per-position analogue classifier with the reference's input contract."""
+
+    d_model: int = 256
+    d_core: int = 96
+    d_residual: int = 32
+    d_signal: int = 128
+    dilations: tuple = (1, 2, 4, 8, 16, 32, 1, 2, 4, 8, 16, 32)
+    kernel: int = 5
+
+    @nn.compact
+    def __call__(self, core_idx, residual_idx, signal):
+        """core_idx/residual_idx: (B, L) int32; signal: (B, L, RAWDEPTH) f32.
+        Returns (B, L, 3) float32 class probabilities."""
+        mask = (signal != 0.0)
+        nvalid = jnp.maximum(mask.sum(-1, keepdims=True), 1)
+        mean = jnp.sum(signal * mask, -1, keepdims=True) / nvalid
+        var = jnp.sum(((signal - mean) * mask) ** 2, -1, keepdims=True) / nvalid
+        sig_feats = jnp.concatenate(
+            [signal, mask.astype(jnp.float32), mean,
+             jnp.sqrt(var + 1e-6),
+             jnp.log(nvalid.astype(jnp.float32))], axis=-1)
+        s = nn.Dense(self.d_signal, dtype=jnp.bfloat16,
+                     param_dtype=jnp.float32)(sig_feats.astype(jnp.bfloat16))
+        s = nn.gelu(s)
+
+        c = nn.Embed(CORE_VOCAB, self.d_core, dtype=jnp.bfloat16,
+                     param_dtype=jnp.float32)(core_idx)
+        r = nn.Embed(RESIDUAL_VOCAB, self.d_residual, dtype=jnp.bfloat16,
+                     param_dtype=jnp.float32)(residual_idx)
+
+        x = jnp.concatenate([s, c, r], axis=-1)
+        x = nn.Dense(self.d_model, dtype=jnp.bfloat16,
+                     param_dtype=jnp.float32)(x)
+        x = x.astype(jnp.float32)
+        for d in self.dilations:
+            x = ConvBlock(self.d_model, self.kernel, d)(x)
+        x = nn.LayerNorm(dtype=jnp.float32)(x)
+        logits = nn.Dense(N_CLASSES, dtype=jnp.float32,
+                          param_dtype=jnp.float32)(x)
+        return jax.nn.softmax(logits, axis=-1)
+
+    def receptive_field(self) -> int:
+        return 1 + sum((self.kernel - 1) * d for d in self.dilations)
+
+
+def create_model(**kwargs) -> DetectCNN:
+    return DetectCNN(**kwargs)
+
+
+def init_params(model: DetectCNN, rng: jax.Array, length: int = 256):
+    dummy = (jnp.zeros((1, length), jnp.int32),
+             jnp.zeros((1, length), jnp.int32),
+             jnp.zeros((1, length, RAWDEPTH), jnp.float32))
+    return model.init(rng, *dummy)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def apply_model(model: DetectCNN, params, core_idx, residual_idx, signal):
+    return model.apply(params, core_idx, residual_idx, signal)
+
+
+# ---------------------------------------------------------------------------
+# Parameter persistence (npz; orbax used for training checkpoints elsewhere)
+# ---------------------------------------------------------------------------
+
+def save_params(params, path: str) -> None:
+    import flax
+    flat = flax.traverse_util.flatten_dict(
+        flax.core.unfreeze(params), sep="/")
+    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+
+def load_params(path: str):
+    import flax
+    with np.load(path) as data:
+        flat = {k: jnp.asarray(data[k]) for k in data.files}
+    return flax.core.freeze(flax.traverse_util.unflatten_dict(flat, sep="/"))
+
+
+def default_params(model: DetectCNN | None = None, seed: int = 0):
+    """Deterministic fallback parameters used when no trained weights are
+    available (the reference's weight files are absent from its mount)."""
+    model = model or create_model()
+    return init_params(model, jax.random.PRNGKey(seed))

@@ -1,0 +1,213 @@
+"""Batched windowed Viterbi eventalign — TPU device kernel.
+
+Re-design of the reference's per-50-bp-window 3-state (M/I/D per k-mer)
+max-product Viterbi (reference: src/alignment.cpp:193-516).  The reference
+runs one window at a time per CPU thread; here every window of every read in
+a batch is a lane of one device computation:
+
+* the time recursion is a ``lax.scan`` over observation columns with
+  (W, N) state blocks (W = windows in flight, N = padded state count);
+* the intra-column deletion chain D[i] = f(D[i-1], M[i-1]) — sequential in
+  the reference (alignment.cpp:405-427) — is closed-form vectorised:
+  D[i] = max_{j<i}(M[j] - j*eD2D) + eM2D + (i-1)*eD2D via a cumulative max;
+* backtrace pointers are packed one byte per (t, state) and the backtrace
+  walk itself runs on device, vectorised across windows (a ~T+N step scan of
+  per-window gathers), so only the compact per-window paths leave the device.
+
+State kinds are 0=D, 1=M, 2=I (matching the reference's D/M/I offsets);
+kind 3 marks padding in the emitted paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.float32(-jnp.inf)
+KIND_D, KIND_M, KIND_I, KIND_PAD = 0, 1, 2, 3
+
+# backtrace pointer codes, packed into one uint8 per (t, state):
+#   bits 0-1: I-state predecessor (0=I same, 1=M same, 2=start)
+#   bits 2-4: M-state predecessor (0=I[i-1], 1=M[i-1], 2=M[i], 3=D[i-1], 4=start)
+#   bit 5:    D-state predecessor (0=M[i-1], 1=D[i-1])
+_I_SHIFT, _M_SHIFT, _D_SHIFT = 0, 2, 5
+
+
+def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observations
+                           n_obs: jnp.ndarray,      # (W,) i32
+                           mu: jnp.ndarray,         # (W, N) f32 per-state model mean
+                           inv_sigma: jnp.ndarray,  # (W, N) f32
+                           lp_const: jnp.ndarray,   # (W, N) f32
+                           n_states: jnp.ndarray,   # (W,) i32
+                           events_per_base: jnp.ndarray,  # (W,) f32 (per read)
+                           hmm_probs: tuple[float, float, float, float, float, float],
+                           ):
+    """Returns (path_kind (W, L) uint8, path_pos (W, L) int16, path_len (W,),
+    score (W,)) with L = T + N + 2.  Paths are in forward order occupying the
+    LAST path_len entries of each row (leading entries are KIND_PAD)."""
+    W, T = obs.shape
+    N = mu.shape[1]
+    eD2D_f, eD2M_f, eI2M_f, eM2D_f, iM2I_f, iI2I_f = hmm_probs
+    eD2D = jnp.float32(np.log(eD2D_f))
+    eD2M = jnp.float32(np.log(eD2M_f))
+    eI2M = jnp.float32(np.log(eI2M_f))
+    eM2D = jnp.float32(np.log(eM2D_f))
+    iM2I = jnp.float32(np.log(iM2I_f))
+    iI2I = jnp.float32(np.log(iI2I_f))
+    # per-read transitions (alignment.cpp:207-210)
+    iM2M = jnp.log(1.0 - (1.0 / events_per_base)).astype(jnp.float32)
+    eM2M = jnp.log(1.0 - eM2D_f - iM2I_f - (1.0 - 1.0 / events_per_base)
+                   ).astype(jnp.float32)
+    eM2MorD = jnp.logaddexp(eM2M, eM2D)
+    eOrIM2M = jnp.logaddexp(eM2M, iM2M)
+
+    sidx = jnp.arange(N, dtype=jnp.int32)[None, :]       # (1, N)
+    in_range = sidx < n_states[:, None]                  # (W, N)
+    is0 = sidx == 0
+
+    # initial column: start -> D0 -> D1 -> ... (alignment.cpp:239-251)
+    D0 = jnp.where(in_range, eM2D + sidx.astype(jnp.float32) * eD2D, NEG)
+    I0 = jnp.full((W, N), NEG)
+    M0 = jnp.full((W, N), NEG)
+
+    def step(carry, t):
+        I_prev, M_prev, D_prev = carry
+        active = (t < n_obs)[:, None]                    # (W, 1)
+        start_prev = jnp.where(t == 0, jnp.float32(0.0), NEG)  # scalar
+        start_prev = jnp.full((W, 1), start_prev)
+        xt = jax.lax.dynamic_slice_in_dim(obs, t, 1, axis=1)  # (W, 1)
+        a = (xt - mu) * inv_sigma
+        em = lp_const - jnp.float32(0.5) * a * a
+
+        # --- insertions (alignment.cpp:277-302, 350-369) ---
+        cI = jnp.stack([I_prev + iI2I, M_prev + iM2I,
+                        jnp.where(is0, start_prev + iM2I, NEG)])
+        I_curr = cI.max(axis=0)
+        aI = jnp.argmax(cI, axis=0).astype(jnp.uint8)    # first-wins ties
+
+        # --- matches (alignment.cpp:304-323, 371-402) ---
+        shift = lambda v: jnp.concatenate(
+            [jnp.full((W, 1), NEG), v[:, :-1]], axis=1)  # v[i-1]
+        # candidate order must mirror lnArgMax order at :377-381 for states
+        # i>=1 and :308-310 for state 0
+        cM_i = jnp.stack([shift(I_prev) + eI2M, shift(M_prev) + eM2M[:, None],
+                          M_prev + iM2M[:, None], shift(D_prev) + eD2M])
+        cM0 = jnp.stack([M_prev + iM2M[:, None],
+                         jnp.where(is0, start_prev + eOrIM2M[:, None], NEG)])
+        M_curr_i = cM_i.max(axis=0) + em
+        aM_i = jnp.argmax(cM_i, axis=0).astype(jnp.uint8)
+        M_curr_0 = cM0.max(axis=0) + em
+        aM_0 = jnp.argmax(cM0, axis=0).astype(jnp.uint8)
+        # encode state-0 codes into the i>=1 code space: 0->M[i] int (code 2),
+        # 1->start (code 4)
+        aM_0 = jnp.where(aM_0 == 0, jnp.uint8(2), jnp.uint8(4))
+        M_curr = jnp.where(is0, M_curr_0, M_curr_i)
+        aM = jnp.where(is0, aM_0, aM_i)
+
+        # --- deletions, closed-form chain (alignment.cpp:405-427) ---
+        # D[i] = max_{j<=i-1}(M[j] - j*eD2D) + eM2D + (i-1)*eD2D
+        fj = sidx.astype(jnp.float32)
+        A = M_curr - fj * eD2D
+        cmax_excl = shift(jax.lax.cummax(A, axis=1))     # max over j <= i-1
+        D_curr = jnp.where(is0, NEG, cmax_excl + eM2D + (fj - 1.0) * eD2D)
+        # pointer: M[i-1]+eM2D vs D[i-1]+eD2D, M wins ties (lnArgMax order)
+        c0 = shift(M_curr) + eM2D
+        c1 = shift(D_curr) + eD2D
+        aD = jnp.where(c0 >= c1, jnp.uint8(0), jnp.uint8(1))
+
+        # keep the previous column for inactive (padded) timesteps
+        I_curr = jnp.where(active & in_range, I_curr, jnp.where(in_range, I_prev, NEG))
+        M_curr = jnp.where(active & in_range, M_curr, jnp.where(in_range, M_prev, NEG))
+        D_curr = jnp.where(active & in_range, D_curr, jnp.where(in_range, D_prev, NEG))
+
+        code = (aI << _I_SHIFT) | (aM << _M_SHIFT) | (aD << _D_SHIFT)
+        return (I_curr, M_curr, D_curr), code
+
+    (I_fin, M_fin, D_fin), codes = jax.lax.scan(
+        step, (I0, M0, D0), jnp.arange(T, dtype=jnp.int32))
+    # codes: (T, W, N) uint8
+
+    # --- termination (alignment.cpp:445-476) ---
+    last = jnp.clip(n_states - 1, 0, N - 1)[:, None]
+    Dl = jnp.take_along_axis(D_fin, last, axis=1)[:, 0]
+    Ml = jnp.take_along_axis(M_fin, last, axis=1)[:, 0]
+    Il = jnp.take_along_axis(I_fin, last, axis=1)[:, 0]
+    cand = jnp.stack([Dl, Ml + eM2MorD, Il + eI2M])
+    score = cand.max(axis=0)
+    kind0 = jnp.argmax(cand, axis=0).astype(jnp.int32)   # 0=D,1=M,2=I
+
+    # --- vectorised backtrace across windows ---
+    L = T + N + 2
+    cur_kind = kind0
+    cur_pos = (n_states - 1).astype(jnp.int32)
+    cur_col = n_obs.astype(jnp.int32)                    # DP column index
+    done = jnp.zeros((W,), dtype=bool)
+    widx = jnp.arange(W, dtype=jnp.int32)
+
+    def bt_step(carry, _):
+        cur_kind, cur_pos, cur_col, done = carry
+        out_kind = jnp.where(done, jnp.uint8(KIND_PAD), cur_kind.astype(jnp.uint8))
+        out_pos = cur_pos.astype(jnp.int16)
+        # fetch code at (col-1, w, pos): codes are indexed by emission t =
+        # col-1; the initial column (col==0) has fixed pointers
+        t_idx = jnp.clip(cur_col - 1, 0, T - 1)
+        byte = codes[t_idx, widx, jnp.clip(cur_pos, 0, N - 1)]
+        cI = (byte >> _I_SHIFT) & 0x3
+        cM = (byte >> _M_SHIFT) & 0x7
+        cD = (byte >> _D_SHIFT) & 0x1
+
+        at_init = cur_col == 0
+        # defaults for each kind (non-init columns)
+        # D: same column
+        nk_D = jnp.where(cD == 0, KIND_M, KIND_D)
+        np_D = cur_pos - 1
+        nc_D = cur_col
+        fin_D = jnp.zeros_like(done)
+        # init-column D chain: D(i)->D(i-1)->...->D(0)->start
+        nk_D = jnp.where(at_init, KIND_D, nk_D)
+        np_D = jnp.where(at_init, cur_pos - 1, np_D)
+        fin_D = jnp.where(at_init & (cur_pos == 0), True, fin_D)
+        # M: predecessors at col-1
+        nk_M = jnp.select([cM == 0, cM == 1, cM == 2, cM == 3],
+                          [KIND_I, KIND_M, KIND_M, KIND_D], KIND_M)
+        np_M = jnp.select([cM == 0, cM == 1, cM == 2, cM == 3],
+                          [cur_pos - 1, cur_pos - 1, cur_pos, cur_pos - 1],
+                          cur_pos)
+        fin_M = cM == 4
+        nc_M = cur_col - 1
+        # I: predecessors at col-1
+        nk_I = jnp.where(cI == 0, KIND_I, KIND_M)
+        np_I = cur_pos
+        fin_I = cI == 2
+        nc_I = cur_col - 1
+
+        is_D = cur_kind == KIND_D
+        is_M = cur_kind == KIND_M
+        nk = jnp.where(is_D, nk_D, jnp.where(is_M, nk_M, nk_I))
+        npos = jnp.where(is_D, np_D, jnp.where(is_M, np_M, np_I))
+        ncol = jnp.where(is_D, nc_D, jnp.where(is_M, nc_M, nc_I))
+        fin = jnp.where(is_D, fin_D, jnp.where(is_M, fin_M, fin_I))
+
+        new_done = done | fin
+        cur_kind = jnp.where(done, cur_kind, nk)
+        cur_pos = jnp.where(done, cur_pos, npos)
+        cur_col = jnp.where(done, cur_col, ncol)
+        return (cur_kind, cur_pos, cur_col, new_done), (out_kind, out_pos)
+
+    (_, _, _, done), (rk, rp) = jax.lax.scan(
+        bt_step, (cur_kind, cur_pos, cur_col, done), None, length=L)
+    # rk/rp: (L, W) in reverse order; flip to forward order and compact later
+    path_kind = rk[::-1].T                               # (W, L)
+    path_pos = rp[::-1].T
+    path_len = jnp.sum(path_kind != KIND_PAD, axis=1).astype(jnp.int32)
+    return path_kind, path_pos, path_len, score
+
+
+@functools.partial(jax.jit, static_argnames=("hmm_probs",))
+def viterbi_jit(obs, n_obs, mu, inv_sigma, lp_const, n_states, events_per_base,
+                hmm_probs):
+    return viterbi_fill_backtrace(obs, n_obs, mu, inv_sigma, lp_const,
+                                  n_states, events_per_base, hmm_probs)

@@ -1,0 +1,53 @@
+"""Theil-Sen device kernel vs the numpy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dnascent_tpu.ops import reference as ref, scaling
+
+
+def test_masked_kth_smallest_matches_sort(rng):
+    B, N = 4, 257
+    vals = rng.normal(size=(B, N)).astype(np.float32) * 10
+    vals[0, :7] = [-np.inf, np.inf, 0.0, -0.0, 1e-30, -1e30, 3.5]
+    mask = rng.random((B, N)) > 0.3
+    mask[:, 0] = True
+    ks = np.minimum(mask.sum(1) // 2, mask.sum(1) - 1).astype(np.int32)
+    out = np.asarray(scaling.masked_kth_smallest(
+        jnp.asarray(vals), jnp.asarray(mask), jnp.asarray(ks)))
+    for b in range(B):
+        expect = np.sort(vals[b][mask[b]])[ks[b]]
+        assert out[b] == expect or (np.isnan(out[b]) and np.isnan(expect))
+
+
+def test_theilsen_device_matches_oracle(rng):
+    B, P = 3, 1400
+    sigs = np.zeros((B, P), dtype=np.float32)
+    mms = np.zeros((B, P), dtype=np.float32)
+    n = np.array([1400, 1200, 500], dtype=np.int32)  # last one: passthrough
+    shift = np.array([90.0, 85.0, 88.0], dtype=np.float32)
+    scale = np.array([16.0, 15.0, 14.0], dtype=np.float32)
+    true_shift = [92.0, 83.5, 0]
+    true_scale = [16.5, 14.2, 0]
+    for b in range(B):
+        mm = rng.normal(size=n[b]).astype(np.float32)
+        sig = true_shift[b] + true_scale[b] * mm + rng.normal(
+            0, 0.05, n[b]).astype(np.float32)
+        sigs[b, : n[b]] = sig
+        mms[b, : n[b]] = mm
+    ns, sc = scaling.theilsen_refine(
+        jnp.asarray(sigs), jnp.asarray(mms), jnp.asarray(n),
+        jnp.asarray(shift), jnp.asarray(scale))
+    ns, sc = np.asarray(ns), np.asarray(sc)
+    for b in range(2):
+        es, ec = ref.estimate_scaling_theilsen(
+            sigs[b, : n[b]].astype(np.float64), mms[b, : n[b]].astype(np.float64),
+            float(shift[b]), float(scale[b]))
+        # float32 device vs float64 oracle: tight but not bitwise
+        assert abs(ns[b] - es) < 5e-2, (b, ns[b], es)
+        assert abs(sc[b] - ec) < 5e-3, (b, sc[b], ec)
+        # and both near the generating truth
+        assert abs(ns[b] - true_shift[b]) < 0.3
+        assert abs(sc[b] - true_scale[b]) < 0.1
+    # passthrough row
+    assert ns[2] == shift[2] and sc[2] == scale[2]
