@@ -1,0 +1,164 @@
+"""detect: the flagship pipeline — per-thymidine BrdU/EdU probabilities.
+
+TPU re-design of ``detect_main`` (reference: src/detect.cpp:735-920):
+
+  read source -> prep (events/scaling/banded, batched on device)
+              -> eventalign wavefront (batched windowed Viterbi on device)
+              -> CNN forward (batched, bucketed by position count)
+              -> per-read call tables -> writer (human-readable / modbam)
+
+Reads fail the same QC gates as the reference (banded QC, Theil-Sen
+sentinel); failures are counted, not fatal (detect.cpp:878-897).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SubstrateConfig, DNA_R10
+from ..io.poremodel import PoreModelSet
+from ..models import cnn as cnn_mod
+from ..utils.seqtools import reverse_complement
+from .eventalign import AlignedPositions, run_eventalign
+from .prep import PreparedRead, prepare_reads
+from .source import ReadRecord
+
+
+@dataclass
+class DetectedRead:
+    """Per-read detect output (mirrors the call side of DNAscent::read)."""
+
+    record: ReadRecord
+    # per *output* position (centre base T), ascending genome coordinate
+    ref_coords: np.ndarray      # (C,) int64
+    edu_prob: np.ndarray        # (C,) float32
+    brdu_prob: np.ndarray       # (C,) float32
+    kmers_ref: list             # reference-oriented 9-mer strings
+    # modbam side: per-position query indices in sequencing orientation,
+    # filtered by the deletion mask (detect.cpp:704)
+    query_indices: np.ndarray   # (Cq,) int64
+    edu_prob_q: np.ndarray
+    brdu_prob_q: np.ndarray
+
+
+@dataclass
+class DetectStats:
+    processed: int = 0
+    failed: int = 0
+
+
+def _bucket_len(n: int) -> int:
+    b = 256
+    while b < n:
+        b *= 2
+    return b
+
+
+def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
+                    batch_positions: int = 1 << 18):
+    """Run the CNN over all QC-passed reads, bucketing by padded position
+    count.  Returns {read_id: (C,3) float32 probabilities} aligned with each
+    read's AlignedPositions order."""
+    jobs = []
+    for p in prepped:
+        res = results.get(p.record.read_id)
+        if res is None or not res.qc_passed or res.positions is None:
+            continue
+        jobs.append((p, res.positions))
+    out: dict[str, np.ndarray] = {}
+    buckets: dict[int, list] = {}
+    for p, pos in jobs:
+        buckets.setdefault(_bucket_len(pos.coord.shape[0]), []).append((p, pos))
+    for L, group in sorted(buckets.items()):
+        # batch size bounded so padded tensors stay modest
+        bs = max(1, batch_positions // L)
+        for i in range(0, len(group), bs):
+            chunk = group[i : i + bs]
+            B = len(chunk)
+            core = np.zeros((B, L), dtype=np.int32)
+            resid = np.zeros((B, L), dtype=np.int32)
+            sig = np.zeros((B, L, cnn_mod.RAWDEPTH), dtype=np.float32)
+            for b, (p, pos) in enumerate(chunk):
+                n = pos.coord.shape[0]
+                core[b, :n] = pos.core_idx
+                resid[b, :n] = pos.residual_idx
+                sig[b, :n] = pos.signal
+            probs = cnn_mod.apply_model(model, params, jnp.asarray(core),
+                                        jnp.asarray(resid), jnp.asarray(sig))
+            probs = np.asarray(probs)
+            for b, (p, pos) in enumerate(chunk):
+                out[p.record.read_id] = probs[b, : pos.coord.shape[0]]
+    return out
+
+
+def collect_calls(rec: ReadRecord, pos: AlignedPositions,
+                  probs: np.ndarray) -> DetectedRead:
+    """Unpack CNN output per the reference's runCNN bookkeeping
+    (detect.cpp:686-714): keep centre-T positions; probs columns are
+    [unmodified, BrdU, EdU]."""
+    sel = pos.center_is_T
+    coords = pos.coord[sel]
+    brdu = probs[sel, 1].astype(np.float32)
+    edu = probs[sel, 2].astype(np.float32)
+    # reference-oriented kmers for the human-readable table
+    k = 9
+    kmers = []
+    for ks in pos.kmer_start[sel]:
+        kmer = rec.reference_seq[ks : ks + k]
+        kmers.append(reverse_complement(kmer) if rec.is_reverse else kmer)
+    # modbam side: skip positions whose reference index is in a deletion
+    qsel = sel & ~rec.ref_to_del[pos.ref_idx]
+    return DetectedRead(
+        record=rec,
+        ref_coords=coords,
+        edu_prob=edu,
+        brdu_prob=brdu,
+        kmers_ref=kmers,
+        query_indices=pos.query_idx[qsel],
+        edu_prob_q=probs[qsel, 2].astype(np.float32),
+        brdu_prob_q=probs[qsel, 1].astype(np.float32),
+    )
+
+
+def detect_reads(records: Iterable[ReadRecord], models: PoreModelSet,
+                 model=None, params=None, cfg: SubstrateConfig = DNA_R10,
+                 batch_size: int = 32, stats: Optional[DetectStats] = None,
+                 collect_failures: bool = False):
+    """Generator over DetectedRead results, processing in read batches."""
+    if model is None:
+        model = cnn_mod.create_model()
+    if params is None:
+        params = cnn_mod.default_params(model)
+    batch: list[ReadRecord] = []
+
+    def flush(batch):
+        prepped = prepare_reads(batch, models, cfg)
+        results = run_eventalign(prepped, models, cfg, collect_text=False)
+        probs_by_read = run_cnn_batched(model, params, results, prepped)
+        for p in prepped:
+            rid = p.record.read_id
+            res = results.get(rid)
+            if (res is None or not res.qc_passed or res.positions is None
+                    or rid not in probs_by_read):
+                if stats is not None:
+                    stats.failed += 1
+                    stats.processed += 1
+                if collect_failures:
+                    yield rid, None
+                continue
+            if stats is not None:
+                stats.processed += 1
+            yield rid, collect_calls(p.record, res.positions, probs_by_read[rid])
+
+    for rec in records:
+        batch.append(rec)
+        if len(batch) >= batch_size:
+            yield from flush(batch)
+            batch = []
+    if batch:
+        yield from flush(batch)

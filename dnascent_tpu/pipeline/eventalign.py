@@ -1,0 +1,426 @@
+"""Windowed eventalign driver: the wavefront over reads.
+
+The reference aligns each read window-by-window, where the next window's
+start depends on the previous window's Viterbi result (``reference_index +=
+lastM_ref + 1``, ``readHead += lastM_ev + 1``; reference:
+src/alignment.cpp:547-741).  Windows of one read are therefore sequential —
+so the TPU batch axis is *reads*: every active read contributes its current
+window to a device batch each round, and all reads advance one window per
+round (a wavefront).  Reads drop out as they exhaust their reference span.
+
+Host-side window construction and path post-processing are vectorised numpy
+per window; the Viterbi fill + backtrace runs on device
+(ops/viterbi.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SubstrateConfig, DNA_R10
+from ..io.poremodel import PoreModelSet
+from ..ops import viterbi as vit
+from ..utils.seqtools import (encode_bases, core_index_from_codes,
+                              residual_index_from_codes)
+from .prep import PreparedRead
+
+LOG_INV_SQRT_2PI = float(np.log(0.3989422804014327))
+RAWDEPTH = 20  # reads.h:12
+
+
+@dataclass
+class AlignedPositions:
+    """Per-read aligned-position table (the arrays behind refCoordToAP,
+    reads.h:202/292-304), in genome-walk (insertion) order."""
+
+    coord: np.ndarray        # (P,) reference coordinate of the position
+    kmer_start: np.ndarray   # (P,) index into reference_seq of the 9-mer start
+    query_idx: np.ndarray    # (P,) event_indexQuery
+    ref_idx: np.ndarray      # (P,) event_indexRef
+    core_idx: np.ndarray     # (P,) CNN core-sequence index
+    residual_idx: np.ndarray  # (P,) CNN residual-sequence index
+    signal: np.ndarray       # (P, RAWDEPTH) f32, zero padded
+    n_signals: np.ndarray    # (P,) total signals seen (may exceed RAWDEPTH)
+    center_is_T: np.ndarray  # (P,) bool: 9-mer centre base is T
+    indel_score: np.ndarray  # (P,) window indel score (quality)
+
+
+@dataclass
+class EventalignResult:
+    positions: Optional[AlignedPositions]
+    text: Optional[str]      # human-readable eventalign table (when collected)
+    qc_passed: bool
+
+
+@dataclass
+class _ReadState:
+    p: PreparedRead
+    ref_codes: np.ndarray
+    core_rank: np.ndarray       # (refLen-k+1,) core index per ref kmer start
+    res_rank: np.ndarray
+    mean_ref: np.ndarray        # (refLen-k+1,) model mean per ref kmer
+    defined: np.ndarray         # (refLen,) base is ACGT
+    reference_index: int = 0
+    read_head: int = 0
+    # accumulators
+    acc: dict = field(default_factory=lambda: {
+        "coord": [], "kmer_start": [], "query_idx": [], "ref_idx": [],
+        "core": [], "res": [], "sig": [], "nsig": [], "centerT": [],
+        "indel": []})
+    text_parts: list = field(default_factory=list)
+    exhausted: bool = False
+
+
+@dataclass
+class _Window:
+    state: _ReadState
+    ref_index: int
+    window_length: int
+    obs_scaled: np.ndarray      # (T,) f32
+    event_ids: np.ndarray       # (T,) global event index per observation
+    first_inrange: int          # pair index of the first in-range event
+    indel_score: int
+    reference_coord: int
+
+
+def _build_state(p: PreparedRead, models: PoreModelSet,
+                 cfg: SubstrateConfig) -> _ReadState:
+    k = cfg.kmer_len
+    codes = encode_bases(p.record.reference_seq)
+    n = codes.shape[0] - k + 1
+    if n <= 0:
+        st = _ReadState(p, codes, np.empty(0, np.int64), np.empty(0, np.int64),
+                        np.empty(0), np.zeros(0, bool))
+        st.exhausted = True
+        return st
+    safe = np.where(codes < 0, 0, codes).astype(np.int64)
+    # sliding 9-mer views for the CNN index tables
+    win = np.lib.stride_tricks.sliding_window_view(safe, k)
+    core = core_index_from_codes(win)
+    res = residual_index_from_codes(win)
+    ranks = np.where(p.kmer_ranks_ref < 0, 0, p.kmer_ranks_ref)
+    mean_ref = models.pore_model[ranks, 0].astype(np.float64)
+    return _ReadState(p, codes, core, res, mean_ref, codes >= 0)
+
+
+def _next_window(st: _ReadState, cfg: SubstrateConfig,
+                 t_cap: int) -> Optional[_Window]:
+    """Advance ``st`` to its next usable window (alignment.cpp:555-650) or
+    mark it exhausted."""
+    p = st.p
+    k = cfg.kmer_len
+    total_wl = cfg.window_length_align
+    ref_len = len(p.record.reference_seq)
+    r2q = p.record.ref_to_query
+    pairs = p.event_alignment
+    ev_mean = p.event_mean
+    dmin, dmax = cfg.detect.event_mean_min, cfg.detect.event_mean_max
+
+    while st.reference_index < ref_len - k + 1:
+        ri = st.reference_index
+        bases_to_end = ref_len - ri
+        wl = min(bases_to_end, total_wl)
+
+        if bases_to_end > 1.5 * total_wl:
+            # break-point search (alignment.cpp:562-595); snippet must be
+            # fully defined else skip the window
+            snip_len = int(1.5 * wl)
+            if not st.defined[ri : ri + snip_len].all():
+                st.reference_index += wl
+                continue
+            limit = int(1.5 * wl - k - 1)
+            m = st.mean_ref
+            for i in range(wl, limit):
+                g1 = abs(m[ri + i] - m[ri + i + 1])
+                g2 = abs(m[ri + i] - m[ri + i - 1])
+                if g1 > 0.75 and g2 > 0.75:
+                    wl = i + k
+                    break
+
+        if not st.defined[ri : ri + wl].all():
+            st.reference_index += wl
+            continue
+
+        lo = r2q[ri]
+        hi = r2q[ri + wl - k + 1]
+        # pairs[:,1] ascending: locate the in-range span from the cursor
+        j0 = np.searchsorted(pairs[:, 1], lo, side="left")
+        j0 = max(j0, st.read_head)
+        j1 = np.searchsorted(pairs[:, 1], hi, side="left")
+        if j1 <= j0:
+            st.reference_index += wl
+            continue
+        first_inrange = int(j0)
+        ev_ids = pairs[j0:j1, 0]
+        means = ev_mean[ev_ids]
+        guard = (means > dmin) & (means < dmax)
+        ev_ids = ev_ids[guard]
+        means = means[guard]
+        if means.shape[0] < 2:
+            st.reference_index += wl
+            continue
+        if means.shape[0] > t_cap:  # safety clip for pathological windows
+            ev_ids = ev_ids[:t_cap]
+            means = means[:t_cap]
+
+        query_span = int(hi - lo)
+        indel_score = query_span - (wl - k + 1)
+        if p.record.is_reverse:
+            ref_coord = p.record.ref_end - ri - k // 2
+        else:
+            ref_coord = p.record.ref_start + ri + k // 2
+        obs = ((means - p.shift) / p.scale).astype(np.float32)
+        return _Window(st, ri, wl, obs, ev_ids, first_inrange,
+                       indel_score, ref_coord)
+
+    st.exhausted = True
+    return None
+
+
+def _process_window(w: _Window, path_kind: np.ndarray, path_pos: np.ndarray,
+                    cfg: SubstrateConfig, collect_text: bool,
+                    calls: Optional[dict] = None) -> None:
+    """Apply one window's Viterbi path (alignment.cpp:654-740): accumulate
+    aligned positions (+ optional text) and advance the read cursors."""
+    st = w.state
+    p = st.p
+    k = cfg.kmer_len
+    ri = w.ref_index
+    S = path_kind.shape[0]
+    if S == 0:
+        st.read_head = w.first_inrange + 1
+        st.reference_index = ri + 1
+        return
+
+    non_d = path_kind != vit.KIND_D
+    ev_idx = np.cumsum(non_d) - 1  # evIdx per step (valid where non_d)
+    is_m = path_kind == vit.KIND_M
+    if is_m.any():
+        last_m_step = np.nonzero(is_m)[0][-1]
+        last_m_ev = int(ev_idx[last_m_step])
+        last_m_ref = int(path_pos[last_m_step])
+    else:
+        last_m_ev = 0
+        last_m_ref = 0
+
+    raw = p.record.raw
+    rs, re_ = p.event_raw_start, p.event_raw_end
+
+    m_steps = np.nonzero(is_m)[0]
+    if m_steps.shape[0]:
+        m_pos = path_pos[m_steps].astype(np.int64)
+        m_ev = w.event_ids[ev_idx[m_steps]]
+        counts = (re_[m_ev] - rs[m_ev] + 1).astype(np.int64)
+        # explode raw sample indices per M step
+        sample_idx = np.repeat(rs[m_ev], counts) + _ranges(counts)
+        scaled = ((raw[sample_idx] - p.shift) / p.scale).astype(np.float32)
+        if p.record.is_reverse:
+            coords = w.reference_coord - m_pos - 1
+        else:
+            coords = w.reference_coord + m_pos
+        ref_idx_arr = ri + m_pos + k // 2
+        query_idx_arr = p.record.ref_to_query[ref_idx_arr]
+        kmer_start = ri + m_pos
+
+        skip_coords = None
+        if calls is not None and calls:
+            skip_coords = np.array([c in calls for c in coords])
+        # group stay-repeated positions: consecutive equal coords
+        boundaries = np.nonzero(np.diff(m_pos, prepend=m_pos[0] - 1))[0]
+        seg_counts = np.diff(np.append(boundaries, m_pos.shape[0]))
+        sample_off = np.concatenate([[0], np.cumsum(counts)])
+        for si, seg0 in enumerate(boundaries):
+            if skip_coords is not None and skip_coords[seg0]:
+                continue  # trainCNN second pass prints calls instead
+            nseg = seg_counts[si]
+            s0 = sample_off[seg0]
+            s1 = sample_off[seg0 + nseg]
+            sig = scaled[s0:s1]
+            acc = st.acc
+            acc["coord"].append(int(coords[seg0]))
+            acc["kmer_start"].append(int(kmer_start[seg0]))
+            acc["query_idx"].append(int(query_idx_arr[seg0]))
+            acc["ref_idx"].append(int(ref_idx_arr[seg0]))
+            acc["core"].append(int(st.core_rank[kmer_start[seg0]]))
+            acc["res"].append(int(st.res_rank[kmer_start[seg0]]))
+            padded = np.zeros(RAWDEPTH, dtype=np.float32)
+            padded[: min(sig.shape[0], RAWDEPTH)] = sig[:RAWDEPTH]
+            acc["sig"].append(padded)
+            acc["nsig"].append(sig.shape[0])
+            acc["centerT"].append(bool(st.ref_codes[kmer_start[seg0] + k // 2] == 1))
+            acc["indel"].append(w.indel_score)
+
+        if collect_text:
+            _emit_text(w, path_kind, path_pos, ev_idx, last_m_ev, scaled,
+                       sample_off, m_steps, coords, cfg, calls)
+
+    st.read_head = w.first_inrange + last_m_ev + 1
+    st.reference_index = ri + last_m_ref + 1
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for counts ci."""
+    total = int(counts.sum())
+    out = np.arange(total)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return out - np.repeat(starts, counts)
+
+
+def _emit_text(w, path_kind, path_pos, ev_idx, last_m_ev, scaled_m,
+               sample_off, m_steps, m_coords, cfg, calls):
+    """Human-readable eventalign rows (alignment.cpp:701-733).
+
+    Columns: refCoord, kmerRef, scaledSample, kmerStrand, modelMean
+    [, EdU, BrdU when calls exist]; insertions print N-kmers with mean 0.
+    """
+    st = w.state
+    p = st.p
+    k = cfg.kmer_len
+    ri = w.ref_index
+    seq = p.record.reference_seq
+    parts = st.text_parts
+    m_counter = 0
+    from ..utils.seqtools import reverse_complement
+    for step in range(path_kind.shape[0]):
+        kind = path_kind[step]
+        if kind == vit.KIND_D:
+            continue
+        pos = int(path_pos[step])
+        ev = int(ev_idx[step])
+        kmer_strand = seq[ri + pos : ri + pos + k]
+        if p.record.is_reverse:
+            coord = w.reference_coord - pos - 1
+            kmer_ref = reverse_complement(kmer_strand)
+        else:
+            coord = w.reference_coord + pos
+            kmer_ref = kmer_strand
+        if kind == vit.KIND_M:
+            mmean = st.mean_ref[ri + pos]
+            s0, s1 = sample_off[m_counter], sample_off[m_counter + 1]
+            for v in scaled_m[s0:s1]:
+                if calls is not None and coord in calls:
+                    e, b = calls[coord]
+                    parts.append(f"{coord}\t{kmer_ref}\t{v:.6f}\t{kmer_strand}"
+                                 f"\t{mmean:.6f}\t{e:.6f}\t{b:.6f}\n")
+                else:
+                    parts.append(f"{coord}\t{kmer_ref}\t{v:.6f}\t{kmer_strand}"
+                                 f"\t{mmean:.6f}\n")
+            m_counter += 1
+        elif kind == vit.KIND_I and ev < last_m_ev:
+            # insertions after the last match are suppressed
+            # (alignment.cpp:728); raw samples of the inserted event
+            evg = w.event_ids[ev]
+            rs, re_ = st.p.event_raw_start[evg], st.p.event_raw_end[evg]
+            for idx in range(rs, re_ + 1):
+                v = (st.p.record.raw[idx] - p.shift) / p.scale
+                parts.append(f"{coord}\t{kmer_ref}\t{v:.6f}\t{'N' * k}\t0\n")
+
+
+HMM_KEY = ("external_D2D", "external_D2M", "external_I2M", "external_M2D",
+           "internal_M2I", "internal_I2I")
+
+
+def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
+                   cfg: SubstrateConfig = DNA_R10, collect_text: bool = False,
+                   calls_per_read: Optional[dict] = None,
+                   n_state_pad: int = 72) -> dict[str, EventalignResult]:
+    """Drive the window wavefront for a batch of prepared reads.
+
+    Returns {read_id: EventalignResult}.  Reads that failed earlier stages
+    come back with qc_passed=False and no positions.
+    """
+    hmm = cfg.hmm
+    hmm_probs = tuple(getattr(hmm, k) for k in HMM_KEY)
+    out: dict[str, EventalignResult] = {}
+    states: list[_ReadState] = []
+    for p in prepped:
+        if not p.passed or p.event_alignment.shape[0] == 0:
+            out[p.record.read_id] = EventalignResult(None, None, False)
+            continue
+        states.append(_build_state(p, models, cfg))
+
+    t_buckets = (64, 128, 256, 512, 1024)
+    t_cap = t_buckets[-1]
+    active = [s for s in states if not s.exhausted]
+    while active:
+        windows: list[_Window] = []
+        still = []
+        for st in active:
+            w = _next_window(st, cfg, t_cap)
+            if w is not None:
+                windows.append(w)
+                still.append(st)
+        if not windows:
+            break
+        # pad the window batch to a stable lane count so the jitted kernel is
+        # not recompiled every time a read finishes its last window
+        W = 8
+        while W < len(windows):
+            W *= 2
+        T = max(w.obs_scaled.shape[0] for w in windows)
+        T = next(b for b in t_buckets if b >= T)
+        N = n_state_pad
+        obs = np.zeros((W, T), dtype=np.float32)
+        n_obs = np.zeros(W, dtype=np.int32)
+        mu = np.zeros((W, N), dtype=np.float32)
+        inv_s = np.ones((W, N), dtype=np.float32)
+        lpc = np.full((W, N), -np.float32(np.inf), dtype=np.float32)
+        n_states = np.ones(W, dtype=np.int32)
+        epb = np.ones(W, dtype=np.float32)
+        for i, w in enumerate(windows):
+            t = w.obs_scaled.shape[0]
+            obs[i, :t] = w.obs_scaled
+            n_obs[i] = t
+            ns = w.window_length - cfg.kmer_len + 1
+            n_states[i] = ns
+            p = w.state.p
+            ranks = np.where(p.kmer_ranks_ref < 0, 0, p.kmer_ranks_ref)
+            rr = ranks[w.ref_index : w.ref_index + ns]
+            mmu = models.pore_model[rr, 0]
+            msd = models.pore_model[rr, 1]
+            mu[i, :ns] = mmu
+            inv_s[i, :ns] = 1.0 / msd
+            lpc[i, :ns] = LOG_INV_SQRT_2PI - np.log(msd)
+            epb[i] = p.events_per_base
+        pk, pp, pl, score = vit.viterbi_jit(
+            jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(mu),
+            jnp.asarray(inv_s), jnp.asarray(lpc), jnp.asarray(n_states),
+            jnp.asarray(epb), hmm_probs)
+        pk = np.asarray(pk); pp = np.asarray(pp); pl = np.asarray(pl)
+        L = pk.shape[1]
+        for i, w in enumerate(windows):
+            kinds = pk[i, L - pl[i]:]
+            poss = pp[i, L - pl[i]:].astype(np.int64)
+            calls = None
+            if calls_per_read is not None:
+                calls = calls_per_read.get(w.state.p.record.read_id)
+            _process_window(w, kinds, poss, cfg, collect_text, calls)
+        active = [s for s in still if not s.exhausted]
+
+    for st in states:
+        rid = st.p.record.read_id
+        acc = st.acc
+        if not acc["coord"]:
+            out[rid] = EventalignResult(None, None, False)
+            continue
+        pos = AlignedPositions(
+            coord=np.asarray(acc["coord"], dtype=np.int64),
+            kmer_start=np.asarray(acc["kmer_start"], dtype=np.int64),
+            query_idx=np.asarray(acc["query_idx"], dtype=np.int64),
+            ref_idx=np.asarray(acc["ref_idx"], dtype=np.int64),
+            core_idx=np.asarray(acc["core"], dtype=np.int64),
+            residual_idx=np.asarray(acc["res"], dtype=np.int64),
+            signal=np.stack(acc["sig"]),
+            n_signals=np.asarray(acc["nsig"], dtype=np.int64),
+            center_is_T=np.asarray(acc["centerT"], dtype=bool),
+            indel_score=np.asarray(acc["indel"], dtype=np.int64),
+        )
+        header = (f">{rid} {st.p.record.contig} {st.p.record.ref_start} "
+                  f"{st.p.record.ref_end} {st.p.record.strand}\n")
+        text = header + "".join(st.text_parts) if collect_text else None
+        out[rid] = EventalignResult(pos, text, True)
+    return out

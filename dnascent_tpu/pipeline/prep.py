@@ -1,0 +1,184 @@
+"""Pipeline stage 1-3: signal -> events -> scaling -> banded alignment.
+
+This is the TPU re-design of ``normaliseEvents`` (reference:
+src/event_handling.cpp:544-607) plus the per-read front half of detect/align
+(detect.cpp:852-887): instead of one read per OpenMP thread, reads are
+prepared host-side, bucketed into padded batches, pushed through the batched
+banded-fill kernel, backtraced natively, and their scalings refined by the
+batched Theil-Sen kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SubstrateConfig, DNA_R10
+from ..io.poremodel import PoreModelSet
+from ..ops import banded, reference as refops, scaling
+from ..utils.seqtools import kmer_ranks
+from .source import ReadRecord
+from .. import native
+
+
+@dataclass
+class PreparedRead:
+    record: ReadRecord
+    # merged events (first-event-zero-mean quirk preserved):
+    event_mean: np.ndarray       # (E,) f64
+    event_raw_start: np.ndarray  # (E,) i64
+    event_raw_end: np.ndarray    # (E,) i64
+    et_n: int                    # raw event count (for eventsPerBase)
+    kmer_ranks_query: np.ndarray
+    kmer_ranks_ref: np.ndarray
+    shift: float = 0.0
+    scale: float = 1.0
+    events_per_base: float = 0.0
+    event_alignment: np.ndarray = field(
+        default_factory=lambda: np.empty((0, 2), dtype=np.int64))
+    qc_fail_reason: Optional[str] = None
+
+    @property
+    def passed(self) -> bool:
+        return self.qc_fail_reason is None
+
+    @property
+    def n_events(self) -> int:
+        return int(self.event_mean.shape[0])
+
+    @property
+    def n_kmers(self) -> int:
+        return int(self.kmer_ranks_query.shape[0])
+
+
+def _detect_and_merge(raw: np.ndarray, cfg: SubstrateConfig):
+    ed = cfg.events
+    if native.available():
+        return native.event_detect(raw, ed.window_length1, ed.window_length2,
+                                   ed.threshold1, ed.threshold2, ed.peak_height)
+    et = refops.detect_events(raw, ed)
+    me = refops.merge_events(et, raw.shape[0])
+    return me.mean, me.raw_start, me.raw_end, me.n_raw_events
+
+
+def _bucket(value: int, step: int) -> int:
+    return ((value + step - 1) // step) * step
+
+
+def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
+                  cfg: SubstrateConfig = DNA_R10,
+                  bucket_step_events: int = 2048,
+                  bucket_step_kmers: int = 1024) -> list[PreparedRead]:
+    """Run events + quantile scaling + banded alignment + Theil-Sen for a
+    batch of reads.  Failed reads carry ``qc_fail_reason`` and are kept (the
+    caller counts them the way the reference's progress bar does)."""
+    k = cfg.kmer_len
+    prepped: list[PreparedRead] = []
+    for rec in records:
+        mean, rs, re_, et_n = _detect_and_merge(rec.raw, cfg)
+        rq = kmer_ranks(rec.basecall, k)
+        rr = kmer_ranks(rec.reference_seq, k)
+        pr = PreparedRead(rec, mean, rs, re_, et_n, rq, rr)
+        if mean.shape[0] < 2 or rq.shape[0] < 2 or rr.shape[0] < 2:
+            pr.qc_fail_reason = "too_few_events"
+        prepped.append(pr)
+
+    live = [p for p in prepped if p.passed]
+    if not live:
+        return prepped
+
+    # quantile scaling against reference-sequence model means
+    # (event_handling.cpp:594-595); undefined kmers take the A-substituted
+    # rank like the reference's defaulting map lookup (data_IO.cpp:131)
+    for p in live:
+        safe_rr = np.where(p.kmer_ranks_ref < 0, 0, p.kmer_ranks_ref)
+        model_means = models.pore_model[safe_rr, 0].astype(np.float64)
+        p.shift, p.scale = refops.estimate_scaling_quantiles(
+            p.event_mean, model_means, cfg.scaling)
+
+    # --- banded alignment, bucketed ---
+    buckets: dict[tuple[int, int], list[PreparedRead]] = {}
+    for p in live:
+        key = (_bucket(p.n_events, bucket_step_events),
+               _bucket(p.n_kmers, bucket_step_kmers))
+        buckets.setdefault(key, []).append(p)
+
+    bw = cfg.banded.bandwidth
+    cleaned_per_read: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for (E, K), group in buckets.items():
+        B = len(group)
+        scaled = np.zeros((B, E), dtype=np.float32)
+        mu = np.zeros((B, K), dtype=np.float32)
+        inv_s = np.ones((B, K), dtype=np.float32)
+        lpc = np.full((B, K), -np.float32(np.inf), dtype=np.float32)
+        n_ev = np.zeros(B, dtype=np.int32)
+        n_km = np.zeros(B, dtype=np.int32)
+        for b, p in enumerate(group):
+            ne, nk = p.n_events, p.n_kmers
+            scaled[b, :ne] = (p.event_mean - p.shift) / p.scale
+            m, i_, l_ = banded.prepare_emission_coefficients(
+                p.kmer_ranks_query[None, :], models.pore_model)
+            mu[b, :nk], inv_s[b, :nk], lpc[b, :nk] = m[0], i_[0], l_[0]
+            n_ev[b], n_km[b] = ne, nk
+        tp, rp, best_e, _ = banded.banded_fill_jit(
+            jnp.asarray(scaled), jnp.asarray(mu), jnp.asarray(inv_s),
+            jnp.asarray(lpc), jnp.asarray(n_ev), jnp.asarray(n_km),
+            bandwidth=bw, epsilon_skip=cfg.banded.epsilon_skip,
+            p_trim=cfg.banded.p_trim)
+        tp = np.asarray(tp); rp = np.asarray(rp); best_e = np.asarray(best_e)
+        for b, p in enumerate(group):
+            ne, nk = p.n_events, p.n_kmers
+            n_bands = ne + nk + 2
+            tr, rg = banded.unpack_trace(tp[:, b : b + 1], rp[:, b : b + 1],
+                                         n_bands)
+            q2r = np.full(p.n_kmers, -1, dtype=np.int64)
+            q2r_src = p.record.query_to_ref[: p.n_kmers]
+            q2r[: q2r_src.shape[0]] = q2r_src
+            pairs, cs, cr, avg_em, spanned, max_gap = native.banded_backtrace(
+                tr[:, 0, :], rg[:, 0].astype(np.uint8), n_bands, bw, ne, nk,
+                int(best_e[b]), p.event_mean, scaled[b, :ne], mu[b, :nk],
+                inv_s[b, :nk], lpc[b, :nk], q2r, p.kmer_ranks_ref)
+            qc = (avg_em >= cfg.banded.min_average_log_emission and spanned
+                  and max_gap <= cfg.banded.max_gap_threshold
+                  and cs.shape[0] >= cfg.banded.min_cleaned_events)
+            if qc:
+                p.event_alignment = pairs
+            else:
+                p.qc_fail_reason = "banded_qc"
+            cleaned_per_read[id(p)] = (cs, cr)
+
+    # --- Theil-Sen refinement, batched on device ---
+    live2 = [p for p in live if p.passed]
+    if live2:
+        P = max(1000, max(cleaned_per_read[id(p)][0].shape[0] for p in live2))
+        B = len(live2)
+        sig = np.zeros((B, P), dtype=np.float32)
+        mms = np.zeros((B, P), dtype=np.float32)
+        ncl = np.zeros(B, dtype=np.int32)
+        sh = np.zeros(B, dtype=np.float32)
+        sc = np.zeros(B, dtype=np.float32)
+        for b, p in enumerate(live2):
+            cs, cr = cleaned_per_read[id(p)]
+            n = cs.shape[0]
+            sig[b, :n] = cs
+            mms[b, :n] = models.pore_model[np.where(cr < 0, 0, cr), 0]
+            ncl[b] = n
+            sh[b], sc[b] = p.shift, p.scale
+        new_sh, new_sc = scaling.theilsen_refine(
+            jnp.asarray(sig), jnp.asarray(mms), jnp.asarray(ncl),
+            jnp.asarray(sh), jnp.asarray(sc),
+            max_points=cfg.scaling.theilsen_max_points,
+            trim=cfg.scaling.theilsen_trim)
+        new_sh = np.asarray(new_sh); new_sc = np.asarray(new_sc)
+        for b, p in enumerate(live2):
+            p.shift, p.scale = float(new_sh[b]), float(new_sc[b])
+            if p.shift == -1.0:  # Theil-Sen failure sentinel
+                p.qc_fail_reason = "theilsen"
+                p.event_alignment = np.empty((0, 2), dtype=np.int64)
+            # eventsPerBase uses the raw event count and basecall length - k
+            # (event_handling.cpp:606)
+            p.events_per_base = p.et_n / max(1, len(p.record.basecall) - cfg.kmer_len)
+    return prepped

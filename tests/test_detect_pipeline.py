@@ -1,0 +1,107 @@
+"""End-to-end detect pipeline on simulated reads (structure + formats)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dnascent_tpu.config import DNA_R10
+from dnascent_tpu.io.writers import DetectHRWriter, detect_header
+from dnascent_tpu.models import cnn as cnn_mod
+from dnascent_tpu.pipeline.detect import DetectStats, detect_reads
+from dnascent_tpu.pipeline.prep import prepare_reads
+from dnascent_tpu.pipeline.eventalign import run_eventalign
+from dnascent_tpu.pipeline.source import SimulatedSource
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = cnn_mod.create_model(d_model=64, d_core=32, d_residual=16,
+                                 d_signal=32, dilations=(1, 2, 4))
+    params = cnn_mod.default_params(model)
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def source(models):
+    return SimulatedSource(models, DNA_R10, n_reads=4, length=2500, seed=100)
+
+
+@pytest.fixture(scope="module")
+def prepped(models, source):
+    return prepare_reads(list(source), models, DNA_R10)
+
+
+def test_prep_qc_pass_rate(prepped):
+    passed = [p for p in prepped if p.passed]
+    assert len(passed) >= 3  # sim reads should almost all pass
+    for p in passed:
+        assert p.event_alignment.shape[0] > 0
+        assert 85.0 < p.shift < 95.0
+        assert 14.0 < p.scale < 18.0
+        assert p.events_per_base > 1.0
+
+
+def test_eventalign_positions(models, prepped):
+    results = run_eventalign(prepped, models, DNA_R10)
+    ok = [r for r in results.values() if r.qc_passed]
+    assert len(ok) >= 3
+    for r in ok:
+        pos = r.positions
+        n = pos.coord.shape[0]
+        # most reference positions should receive an aligned event
+        ref_len = 2500
+        assert n > 0.6 * ref_len, f"only {n} aligned positions"
+        # coords strictly increasing for forward reads
+        assert (np.diff(pos.coord) > 0).all()
+        # signals present
+        assert (pos.n_signals > 0).all()
+        assert pos.signal.shape[1] == 20
+        # CNN indices in range
+        assert pos.core_idx.min() >= 1 and pos.core_idx.max() <= 4 ** 5 + 1
+        assert pos.residual_idx.min() >= 1 and pos.residual_idx.max() <= 4 ** 4 + 1
+        # centre-T fraction should be roughly the T frequency (~25%)
+        frac_t = pos.center_is_T.mean()
+        assert 0.15 < frac_t < 0.35
+
+
+def test_eventalign_text_mode(models, prepped):
+    results = run_eventalign(prepped[:1], models, DNA_R10, collect_text=True)
+    r = next(iter(results.values()))
+    if not r.qc_passed:
+        pytest.skip("first read failed QC")
+    lines = r.text.strip().split("\n")
+    assert lines[0].startswith(">")
+    # data rows: coord, kmerRef, scaledSample, kmerStrand, modelMean
+    row = lines[1].split("\t")
+    assert len(row) == 5
+    int(row[0])
+    float(row[2]); float(row[4])
+    assert len(row[1]) == 9
+
+
+def test_detect_end_to_end_and_writer(models, source, small_model, tmp_path):
+    model, params = small_model
+    stats = DetectStats()
+    outpath = os.path.join(tmp_path, "out.detect")
+    with DetectHRWriter(outpath) as w:
+        w.write_header(detect_header("x.bam", "ref.fa", "index.dnascent",
+                                     1, 20, 1000))
+        for rid, d in detect_reads(source, models, model, params,
+                                   stats=stats, collect_failures=True):
+            if d is not None:
+                w.write(d)
+    assert stats.processed == 4
+    assert stats.failed <= 1
+    text = open(outpath).read()
+    assert "#Mode CNN" in text
+    reads = [l for l in text.splitlines() if l.startswith(">")]
+    assert len(reads) >= 3
+    data = [l for l in text.splitlines()
+            if l and not l.startswith(("#", ">"))]
+    assert len(data) > 1000
+    cols = data[0].split("\t")
+    assert len(cols) == 4
+    edu, brdu = float(cols[1]), float(cols[2])
+    assert 0.0 <= edu <= 1.0 and 0.0 <= brdu <= 1.0
+    assert cols[3][4] == "T"  # centre base of output kmers is always T
