@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Headline benchmark: detect reads/s on one chip.
+
+Simulates a batch of R10.4.1-style reads (no real pod5 data ships with the
+reference mount), runs the full detect pipeline (events -> scaling -> banded
+alignment -> Theil-Sen -> windowed Viterbi eventalign -> CNN) and reports
+throughput.
+
+Prints ONE JSON line:
+  {"metric": "detect_reads_per_s", "value": N, "unit": "reads/s",
+   "vs_baseline": R}
+
+Baseline: the reference publishes no formal numbers (BASELINE.md); the
+operative yardstick is 48-thread CPU DNAscent detect.  From the reference's
+hot-loop structure (banded fill ~n_events*bandwidth cells + windowed Viterbi
+~T*N per 50 bp + per-read CNN at batch size 1; SURVEY.md §3.1) a 48-thread
+x86 server sustains roughly 25 reads/s at 10 kb — used here as the
+vs_baseline denominator and revisable when the binary can be run.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.9")
+
+N_READS = int(os.environ.get("BENCH_READS", "64"))
+READ_LEN = int(os.environ.get("BENCH_READ_LEN", "10000"))
+BASELINE_READS_PER_S = float(os.environ.get("BENCH_BASELINE", "25.0"))
+
+
+def main():
+    from dnascent_tpu.config import DNA_R10
+    from dnascent_tpu.io.poremodel import synthetic_model_set
+    from dnascent_tpu.models import cnn as cnn_mod
+    from dnascent_tpu.pipeline.detect import DetectStats, detect_reads
+    from dnascent_tpu.pipeline.source import SimulatedSource
+
+    cfg = DNA_R10
+    models = synthetic_model_set(cfg)
+    model = cnn_mod.create_model()
+    params = cnn_mod.default_params(model)
+
+    # warmup on a small batch to populate compile caches
+    warm = SimulatedSource(models, cfg, n_reads=4, length=READ_LEN, seed=7000)
+    for _ in detect_reads(warm, models, model, params, cfg, batch_size=4):
+        pass
+
+    src = SimulatedSource(models, cfg, n_reads=N_READS, length=READ_LEN,
+                          seed=1234)
+    records = list(src)
+    stats = DetectStats()
+    t0 = time.perf_counter()
+    n_out = 0
+    for _rid, _d in detect_reads(records, models, model, params, cfg,
+                                 batch_size=min(64, N_READS), stats=stats):
+        n_out += 1
+    dt = time.perf_counter() - t0
+    reads_per_s = stats.processed / dt
+
+    print(json.dumps({
+        "metric": "detect_reads_per_s",
+        "value": round(reads_per_s, 3),
+        "unit": f"reads/s ({READ_LEN} bp reads, 1 chip)",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
