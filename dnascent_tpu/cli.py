@@ -1,0 +1,426 @@
+"""Command-line interface: the reference's seven subcommands, same flags.
+
+Dispatcher mirrors src/main/DNAscent.cpp:26-82.  Run as
+``python -m dnascent_tpu <subcommand> ...`` or via the ``dnascent-tpu``
+entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from . import __version__
+from .config import DNA_R10, get_config
+
+GENERAL_HELP = f"""dnascent_tpu v{__version__} — TPU-native DNAscent
+Usage: dnascent-tpu [subprogram] [arguments]
+The subprograms are:
+
+  index      generate an index file for fast5/pod5 files,
+  detect     detect base analogues in Oxford Nanopore reads,
+  align      align nanopore signals to reference k-mers,
+  forkSense  call replication origins, fork movement, and fork stalling,
+  seeBreaks  detect an elevated frequency of DNA breaks at forks,
+  trainCNN   build training data for neural network training,
+  trainGMM   estimate the mean and standard deviation of a base analogue's current.
+"""
+
+
+def _load_models(cfg):
+    from .io.poremodel import load_model_set
+    return load_model_set(cfg)
+
+
+def _progress(label):
+    n = {"count": 0}
+
+    def cb(*_a):
+        n["count"] += 1
+        if n["count"] % 50 == 0:
+            print(f"\r{label}: {n['count']}", end="", file=sys.stderr,
+                  flush=True)
+    return cb
+
+
+# ---------------------------------------------------------------------------
+# index
+# ---------------------------------------------------------------------------
+
+def main_index(argv):
+    p = argparse.ArgumentParser(prog="dnascent-tpu index")
+    p.add_argument("-f", "--files", required=True,
+                   help="full path to fast5 or pod5 files")
+    p.add_argument("-s", "--sequencing-summary", default=None)
+    p.add_argument("-o", "--output", default="index.dnascent")
+    a = p.parse_args(argv)
+    from .io.index_io import build_index
+    n = build_index(a.files.rstrip("/"), a.output, a.sequencing_summary)
+    print(f"Indexed {n} reads -> {a.output}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# detect / trainCNN shared front end
+# ---------------------------------------------------------------------------
+
+def _detect_parser(prog, min_l_default):
+    p = argparse.ArgumentParser(prog=prog)
+    p.add_argument("-b", "--bam", required=True)
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-q", "--quality", type=int, default=20)
+    p.add_argument("-l", "--length", type=int, default=min_l_default)
+    p.add_argument("-m", "--maxReads", type=int, default=None)
+    p.add_argument("--GPU", default=None, help="accepted for compatibility; "
+                   "device placement is controlled by JAX")
+    p.add_argument("--HMM", action="store_true")
+    p.add_argument("--cnn-weights", default=None,
+                   help="npz weights for the detect CNN (dnascent-tpu "
+                   "extension; untrained weights otherwise)")
+    return p
+
+
+def _open_source(a, cfg, min_l):
+    from .io.fasta import import_reference
+    from .io.index_io import parse_index
+    from .pipeline.source import BamSignalSource
+    ref = import_reference(a.reference)
+    idx = parse_index(a.index)
+    missing_log = []
+    src = BamSignalSource(a.bam, ref, idx, min_mapq=a.quality,
+                          min_length=min_l, max_reads=a.maxReads,
+                          on_missing=missing_log.append)
+    return src, ref, missing_log
+
+
+def _load_cnn(a):
+    from .models import cnn as cnn_mod
+    model = cnn_mod.create_model()
+    if a.cnn_weights and os.path.exists(a.cnn_weights):
+        params = cnn_mod.load_params(a.cnn_weights)
+    else:
+        params = cnn_mod.default_params(model)
+        print("Warning: no trained CNN weights supplied (--cnn-weights); "
+              "analogue probabilities will be untrained.", file=sys.stderr)
+    return model, params
+
+
+def main_detect(argv):
+    a = _detect_parser("dnascent-tpu detect", 1000).parse_args(argv)
+    ext = a.output.rsplit(".", 1)[-1]
+    if ext not in ("detect", "bam"):
+        print(f"Exiting with error.  Invalid output extension: {ext}",
+              file=sys.stderr)
+        return 1
+    human_readable = ext == "detect"
+    cfg = DNA_R10
+    models = _load_models(cfg)
+    src, ref, missing = _open_source(a, cfg, a.length)
+
+    from .io.writers import DetectHRWriter, detect_header
+    from .pipeline.detect import DetectStats, detect_reads
+
+    stats = DetectStats()
+    if a.HMM:
+        from .pipeline.hmm_detect import hmm_detect_reads
+        writer = DetectHRWriter(a.output) if human_readable else None
+        if writer is None:
+            print("--HMM supports human-readable output only (as in the "
+                  "reference's legacy path)", file=sys.stderr)
+            return 1
+        writer.write_header(detect_header(a.bam, a.reference, a.index,
+                                          a.threads, a.quality, a.length,
+                                          mode="HMM"))
+        for rid, text in hmm_detect_reads(src, models, cfg, stats=stats):
+            if text:
+                writer._fh.write(text)
+        writer.close()
+    else:
+        model, params = _load_cnn(a)
+        if human_readable:
+            with DetectHRWriter(a.output) as w:
+                w.write_header(detect_header(a.bam, a.reference, a.index,
+                                             a.threads, a.quality, a.length))
+                for _rid, d in detect_reads(src, models, model, params, cfg,
+                                            stats=stats):
+                    w.write(d)
+        else:
+            from .io.bam import BamReader
+            from .io.modbam import ModBamWriter
+            hdr_reader = BamReader(a.bam)
+            with ModBamWriter(a.output, hdr_reader.header_text,
+                              hdr_reader.ref_names,
+                              hdr_reader.ref_lengths) as w:
+                hdr_reader.close()
+                for _rid, d in detect_reads(src, models, model, params, cfg,
+                                            stats=stats):
+                    w.write(d)
+    log = os.path.splitext(a.output)[0] + ".detect.log"
+    with open(log, "w") as fh:
+        for rid in missing:
+            fh.write(f"ReadID {rid} missing from index. Skipping.\n")
+    print(f"\ndetect: {stats.processed} reads, {stats.failed} failed QC")
+    return 0
+
+
+def main_align(argv):
+    p = _detect_parser("dnascent-tpu align", 100)
+    a = p.parse_args(argv)
+    cfg = DNA_R10
+    models = _load_models(cfg)
+    src, ref, missing = _open_source(a, cfg, a.length)
+    from .io.writers import AlignHRWriter
+    from .pipeline.prep import prepare_reads
+    from .pipeline.eventalign import run_eventalign
+
+    n_ok = n_fail = 0
+    with AlignHRWriter(a.output) as w:
+        batch = []
+        def flush(batch):
+            nonlocal n_ok, n_fail
+            prepped = prepare_reads(batch, models, cfg)
+            results = run_eventalign(prepped, models, cfg, collect_text=True)
+            for p_ in prepped:
+                res = results.get(p_.record.read_id)
+                if res is not None and res.qc_passed and res.text:
+                    w.write_text(res.text)
+                    n_ok += 1
+                else:
+                    n_fail += 1
+        for rec in src:
+            batch.append(rec)
+            if len(batch) >= 32:
+                flush(batch)
+                batch = []
+        if batch:
+            flush(batch)
+    log = os.path.splitext(a.output)[0] + ".align.log"
+    with open(log, "w") as fh:
+        for rid in missing:
+            fh.write(f"ReadID {rid} missing from index. Skipping.\n")
+    print(f"\nalign: {n_ok} reads, {n_fail} failed QC")
+    return 0
+
+
+def main_forksense(argv):
+    p = argparse.ArgumentParser(prog="dnascent-tpu forkSense")
+    p.add_argument("-d", "--detect", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--order", required=True,
+                   choices=["EdU,BrdU", "BrdU,EdU"])
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("--markAnalogues", action="store_true")
+    p.add_argument("--markOrigins", action="store_true")
+    p.add_argument("--markTerminations", action="store_true")
+    p.add_argument("--markForks", action="store_true")
+    p.add_argument("--makeSignatures", action="store_true")
+    a = p.parse_args(argv)
+    cfg = DNA_R10
+    from .pipeline import forksense as fsm
+
+    ext = a.detect.rsplit(".", 1)[-1]
+    if ext == "detect":
+        reads = list(fsm.parse_detect_file(a.detect))
+        human_readable = True
+    elif ext == "bam":
+        from .io.modbam import iter_modbam_detected_reads
+        reads = list(iter_modbam_detected_reads(a.detect))
+        human_readable = False
+    else:
+        print(f"Exiting with error.  Invalid detect extension: {ext}",
+              file=sys.stderr)
+        return 1
+
+    inc, outputs = fsm.forksense_run(
+        reads, a.order, cfg,
+        mark_origins=a.markOrigins, mark_terms=a.markTerminations,
+        mark_forks=a.markForks, mark_analogues=a.markAnalogues,
+        make_signatures=a.makeSignatures, human_readable=human_readable)
+
+    print(f"Estimated fraction of BrdU substitution in BrdU-positive "
+          f"regions: {inc.centroid_1}", file=sys.stderr)
+    print(f"Estimated fraction of EdU substitution in EdU-positive "
+          f"regions: {inc.centroid_2}", file=sys.stderr)
+
+    import datetime
+    now = datetime.datetime.now().strftime("%d/%m/%Y %H:%M:%S")
+
+    def hdr(extra=""):
+        return (f"#DetectFile {a.detect}\n#Threads {a.threads}\n"
+                f"#Compute TPU\n#SystemStartTime {now}\n"
+                f"#Software dnascent_tpu\n#Version {__version__}\n"
+                f"#Commit none\n{extra}")
+
+    with open(a.output, "w") as fh:
+        fh.write(hdr(f"#EstimatedRegionBrdU {inc.centroid_1:.6f}\n"
+                     f"#EstimatedRegionEdU {inc.centroid_2:.6f}\n"))
+        for o in outputs:
+            for block in o.main:
+                fh.write(block)
+
+    def write_bed(name, lines_attr):
+        path = name
+        with open(path, "w") as fh:
+            fh.write(hdr())
+            for o in outputs:
+                for line in getattr(o, lines_attr):
+                    fh.write(line)
+
+    if a.markTerminations:
+        write_bed("terminations_DNAscent_forkSense.bed", "terminations")
+    if a.markOrigins:
+        write_bed("origins_DNAscent_forkSense.bed", "origins")
+    if a.markForks:
+        write_bed("leftForks_DNAscent_forkSense.bed", "left_forks")
+        write_bed("rightForks_DNAscent_forkSense.bed", "right_forks")
+    if a.makeSignatures:
+        write_bed("leftForks_DNAscent_forkSense_stressSignatures.bed",
+                  "left_signatures")
+        write_bed("rightForks_DNAscent_forkSense_stressSignatures.bed",
+                  "right_signatures")
+    if a.markAnalogues:
+        write_bed("BrdU_DNAscent_forkSense.bed", "brdu_beds")
+        write_bed("EdU_DNAscent_forkSense.bed", "edu_beds")
+    return 0
+
+
+def main_seebreaks(argv):
+    p = argparse.ArgumentParser(prog="dnascent-tpu seeBreaks")
+    p.add_argument("-l", "--left", default=None)
+    p.add_argument("-r", "--right", default=None)
+    p.add_argument("-a", "--analogue", required=True)
+    p.add_argument("-d", "--detect", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--fast", action="store_true",
+                   help="vectorised bootstrap instead of reference-exact RNG")
+    a = p.parse_args(argv)
+    if not (a.left or a.right):
+        print("Exiting with error.  Insufficient arguments passed to "
+              "DNAscent seeBreaks.", file=sys.stderr)
+        return 1
+    cfg = DNA_R10
+    import numpy as np
+    from .pipeline.seebreaks import run_seebreaks, write_seebreaks_output
+
+    ext = a.detect.rsplit(".", 1)[-1]
+    spans = []
+    if ext == "detect":
+        with open(a.detect) as fh:
+            for line in fh:
+                if line.startswith(">"):
+                    cols = line.split()
+                    spans.append((int(cols[2]), int(cols[3])))
+    else:
+        from .io.bam import BamReader, get_ref_span
+        rd = BamReader(a.detect)
+        for rec in rd:
+            rs, re_ = get_ref_span(rec.cigar(), rec.pos)
+            spans.append((rs, re_))
+        rd.close()
+    spans = np.asarray(spans, dtype=np.int64).reshape(-1, 2)
+
+    def by_minlen(minlen):
+        keep = (spans[:, 1] - spans[:, 0]) >= minlen
+        return spans[keep, 0], spans[keep, 1]
+
+    res = run_seebreaks(a.left, a.right, a.analogue, spans[:, 0], by_minlen,
+                        cfg.seebreaks, parity=not a.fast)
+    write_seebreaks_output(res, a.output, a.detect, a.left or "",
+                           a.right or "")
+    print(f"\nNumber of forks: {res.n_forks}")
+    print("Expected number of analogue tracks at read ends")
+    print(f"   Estimate: {res.sim_mean:.6g}")
+    print(f"   StandardError: {res.sim_std:.6g}")
+    print("Observed number of analogue tracks at read ends")
+    print(f"   Estimate: {res.obs_mean:.6g}")
+    print(f"   StandardError: {res.obs_std:.6g}")
+    print("Difference between observed and expected")
+    print(f"   Estimate: {res.diff_mean:.6g}")
+    print(f"   StandardError: {res.diff_std:.6g}")
+    print(f"   95% Confidence Interval: [{res.ci_low:.6g}, {res.ci_high:.6g}]")
+    return 0
+
+
+def main_traincnn(argv):
+    p = _detect_parser("dnascent-tpu trainCNN", 100)
+    a = p.parse_args(argv)
+    cfg = DNA_R10
+    models = _load_models(cfg)
+    src, ref, missing = _open_source(a, cfg, a.length)
+    model, params = _load_cnn(a)
+    from .pipeline.traincnn import generate_training_tables
+    n = 0
+    with open(a.output, "w") as fh:
+        batch = []
+        def flush(batch):
+            nonlocal n
+            for text in generate_training_tables(batch, models, model,
+                                                 params, cfg):
+                fh.write(text)
+                n += 1
+        for rec in src:
+            batch.append(rec)
+            if len(batch) >= 32:
+                flush(batch); batch = []
+        if batch:
+            flush(batch)
+    print(f"\ntrainCNN: {n} reads written")
+    return 0
+
+
+def main_traingmm(argv):
+    p = argparse.ArgumentParser(prog="dnascent-tpu trainGMM")
+    p.add_argument("-d", "--trainingData", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-pi", dest="pi", type=float, default=0.5)
+    p.add_argument("-m", "--max-reads", type=int, default=100000)
+    p.add_argument("-e", "--max-events", type=int, default=10000)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    a = p.parse_args(argv)
+    cfg = DNA_R10
+    if a.pi != cfg.traingmm.default_pi:
+        cfg = cfg.replace(traingmm=cfg.traingmm.__class__(
+            **{**cfg.traingmm.__dict__, "default_pi": a.pi}))
+    models = _load_models(cfg)
+    from .pipeline.traingmm import parse_align_events, train_gmm, write_gmm_table
+    pools = parse_align_events(a.trainingData, cfg.kmer_len, a.max_events,
+                               a.max_reads)
+    fits = train_gmm(pools, models, cfg)
+    write_gmm_table(fits, a.output, cfg.kmer_len)
+    print(f"Done. {len(fits)} k-mers fitted -> {a.output}")
+    return 0
+
+
+SUBCOMMANDS = {
+    "index": main_index,
+    "detect": main_detect,
+    "align": main_align,
+    "forkSense": main_forksense,
+    "seeBreaks": main_seebreaks,
+    "trainCNN": main_traincnn,
+    "trainGMM": main_traingmm,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(GENERAL_HELP)
+        return 0
+    if argv[0] in ("-v", "--version"):
+        print(__version__)
+        return 0
+    fn = SUBCOMMANDS.get(argv[0])
+    if fn is None:
+        print(GENERAL_HELP)
+        print(f"Unknown subprogram: {argv[0]}", file=sys.stderr)
+        return 1
+    return fn(argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

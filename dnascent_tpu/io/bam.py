@@ -143,7 +143,7 @@ class BamRecord:
 
     @property
     def flag(self) -> int:
-        return self._fixed()[5]
+        return self._fixed()[6]
 
     @property
     def is_reverse(self) -> bool:
@@ -155,11 +155,11 @@ class BamRecord:
 
     @property
     def n_cigar(self) -> int:
-        return self._fixed()[4]
+        return self._fixed()[5]
 
     @property
     def l_seq(self) -> int:
-        return self._fixed()[6]
+        return self._fixed()[7]
 
     @property
     def qname(self) -> str:
@@ -187,7 +187,7 @@ class BamRecord:
 
     def _aux_offset(self) -> int:
         f = self._fixed()
-        l_qname, n_cigar, l_seq = f[2], f[4], f[6]
+        l_qname, n_cigar, l_seq = f[2], f[5], f[7]
         return 32 + l_qname + 4 * n_cigar + (l_seq + 1) // 2 + l_seq
 
     def aux_bytes(self) -> bytes:
@@ -317,6 +317,41 @@ class BamWriter:
 
     def close(self) -> None:
         self._w.close()
+
+
+_SEQ_ENCODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+
+
+def build_record(qname: str, ref_id: int, pos: int, mapq: int,
+                 cigar: list[tuple[int, int]], seq: str, flag: int = 0,
+                 qual: Optional[bytes] = None, aux: bytes = b"") -> BamRecord:
+    """Construct a BAM record from scratch (for writers/tests).
+
+    ``cigar`` is a list of (op, length); ``seq`` in reference-forward
+    orientation as SAM stores it.
+    """
+    qname_b = qname.encode("ascii") + b"\x00"
+    n = len(seq)
+    packed = np.zeros((n + 1) // 2, dtype=np.uint8)
+    codes = np.array([_SEQ_ENCODE.get(c, 15) for c in seq], dtype=np.uint8)
+    packed |= 0
+    packed[: (n + 1) // 2] = 0
+    hi = codes[0::2]
+    lo = codes[1::2]
+    packed[: hi.shape[0]] |= hi << 4
+    packed[: lo.shape[0]] |= lo
+    if qual is None:
+        qual = b"\xff" * n  # 0xff = missing quality
+    body = bytearray()
+    body += struct.pack("<iiBBHHHiiii", ref_id, pos, len(qname_b),
+                        mapq, 0, len(cigar), flag, n, -1, -1, 0)
+    body += qname_b
+    for op, ol in cigar:
+        body += struct.pack("<I", (ol << 4) | op)
+    body += packed.tobytes()
+    body += qual
+    body += aux
+    return BamRecord(bytes(body))
 
 
 # ---------------------------------------------------------------------------

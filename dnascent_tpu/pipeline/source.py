@@ -37,6 +37,7 @@ class ReadRecord:
     ref_to_del: np.ndarray        # (refLen,) bool
     raw: np.ndarray               # (S,) float64 pA
     mapping_quality: int = 60
+    bam_record: object = None     # source BamRecord (modbam passthrough)
 
     @property
     def strand(self) -> str:
@@ -45,6 +46,99 @@ class ReadRecord:
     @property
     def ref_span(self) -> int:
         return self.ref_end - self.ref_start
+
+
+class BamSignalSource:
+    """Production source: BAM records + pod5/fast5 raw signal.
+
+    Mirrors the DNAscent::read constructor (reads.h:210-287): Dorado tags
+    ns/ts/pi/sp drive split-read signal slicing (pod5.cpp:74-93), reverse
+    records revcomp both basecall and mapped reference, and the record
+    filter matches detect_main (mapq, ref span, non-empty SEQ;
+    detect.cpp:833-845).
+    """
+
+    def __init__(self, bam_path: str, reference: dict, index: dict,
+                 min_mapq: int = 20, min_length: int = 1000,
+                 max_reads: int | None = None, on_missing=None):
+        self.bam_path = bam_path
+        self.reference = reference
+        self.index = index
+        self.min_mapq = min_mapq
+        self.min_length = min_length
+        self.max_reads = max_reads
+        self.on_missing = on_missing
+
+    def __iter__(self) -> Iterator[ReadRecord]:
+        from ..io import bam as bam_io
+        from ..io import fast5_io, pod5_io
+
+        reader = bam_io.BamReader(self.bam_path)
+        count = 0
+        for rec in reader:
+            if self.max_reads is not None and count >= self.max_reads:
+                break
+            if rec.is_unmapped or rec.ref_id < 0 or rec.l_seq == 0:
+                continue
+            cigar = rec.cigar()
+            ref_start, ref_end = bam_io.get_ref_span(cigar, rec.pos)
+            if rec.mapq < self.min_mapq or ref_end - ref_start < self.min_length:
+                continue
+            read_id = rec.qname
+            fetch_id = read_id
+            parent = rec.get_tag("pi")
+            sp = rec.get_tag("sp") or 0
+            ts = rec.get_tag("ts") or 0
+            ns = rec.get_tag("ns")
+            if parent:
+                fetch_id = parent
+            entry = self.index.get(fetch_id)
+            if entry is None:
+                if self.on_missing:
+                    self.on_missing(read_id)
+                continue
+            if entry.path.endswith(".pod5"):
+                stored = pod5_io.read_id_to_stored(fetch_id)
+                raw = pod5_io.pod5_get_signal(entry.path, stored,
+                                              entry.batch, entry.row)
+            else:
+                raw = fast5_io.fast5_get_signal(entry.path, fetch_id)
+            if raw.shape[0] == 0:
+                continue
+            # Dorado signal slicing (pod5.cpp:74-93)
+            if ns is not None and ns > 0:
+                if fetch_id != read_id:
+                    raw = raw[sp + ts : sp + ns]
+                else:
+                    raw = raw[ts:ns]
+
+            contig = reader.ref_names[rec.ref_id]
+            refseq = self.reference[contig][ref_start:ref_end]
+            r2q, q2r, r2d, _, _ = bam_io.parse_cigar(cigar, rec.pos,
+                                                     rec.is_reverse)
+            basecall = rec.seq()
+            if rec.is_reverse:
+                basecall = reverse_complement(basecall)
+                refseq = reverse_complement(refseq)
+            q2r_arr = np.full(len(basecall), -1, dtype=np.int64)
+            q2r_arr[: q2r.shape[0]] = q2r
+            count += 1
+            yield ReadRecord(
+                read_id=read_id,
+                contig=contig,
+                ref_start=ref_start,
+                ref_end=ref_end,
+                is_reverse=rec.is_reverse,
+                basecall=basecall,
+                reference_seq=refseq,
+                ref_to_query=r2q,
+                query_to_ref=q2r_arr,
+                ref_to_del=r2d,
+                raw=raw,
+                mapping_quality=rec.mapq,
+                bam_record=rec,
+            )
+        reader.close()
 
 
 class SimulatedSource:

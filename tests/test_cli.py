@@ -1,0 +1,149 @@
+"""CLI end-to-end tests: the full subcommand surface over a synthetic
+dataset (index -> detect[.detect/.bam/--HMM] -> align -> trainGMM;
+forkSense + seeBreaks over synthetic call data)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dnascent_tpu import cli
+from dnascent_tpu.testing.dataset import build_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory, models):
+    d = tmp_path_factory.mktemp("clids")
+    return build_dataset(str(d), models, n_reads=4, read_length=1500,
+                         signal_format="fast5", seed=11)
+
+
+def test_cli_help():
+    assert cli.main([]) == 0
+    assert cli.main(["--version"]) == 0
+    assert cli.main(["bogus"]) == 1
+
+
+def test_cli_index(dataset, tmp_path):
+    out = os.path.join(tmp_path, "index2.dnascent")
+    rc = cli.main(["index", "-f", dataset.signal_dir, "-o", out])
+    assert rc == 0
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == 4
+    assert all(len(l.split("\t")) == 4 for l in lines)
+
+
+def test_cli_detect_hr(dataset, tmp_path, monkeypatch):
+    monkeypatch.setenv("DNASCENT_TPU_MODELS", "/nonexistent")  # synthetic models
+    out = os.path.join(tmp_path, "out.detect")
+    rc = cli.main(["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
+                   "-i", dataset.index, "-o", out, "-l", "1000"])
+    assert rc == 0
+    text = open(out).read()
+    assert text.startswith("#Alignment")
+    assert text.count("\n>") + text.startswith(">") >= 3
+    data_rows = [l for l in text.splitlines()
+                 if l and l[0] not in "#>"]
+    assert len(data_rows) > 500
+    assert os.path.exists(os.path.join(tmp_path, "out.detect.log"))
+
+
+def test_cli_detect_modbam_roundtrip(dataset, tmp_path):
+    out = os.path.join(tmp_path, "out.bam")
+    rc = cli.main(["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
+                   "-i", dataset.index, "-o", out, "-l", "1000"])
+    assert rc == 0
+    # parse the modbam back the way forkSense would
+    from dnascent_tpu.io.modbam import iter_modbam_detected_reads
+    reads = list(iter_modbam_detected_reads(out))
+    assert len(reads) >= 3
+    for r in reads:
+        assert r.coords.shape[0] > 100
+        assert (np.diff(r.coords) > 0).all()
+        assert r.edu.shape == r.coords.shape
+        assert r.brdu.shape == r.coords.shape
+        assert ((r.edu >= 0) & (r.edu <= 1)).all()
+
+
+def test_cli_detect_hmm(dataset, tmp_path):
+    out = os.path.join(tmp_path, "hmm.detect")
+    rc = cli.main(["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
+                   "-i", dataset.index, "-o", out, "-l", "1000", "--HMM"])
+    assert rc == 0
+    text = open(out).read()
+    rows = [l for l in text.splitlines() if l and l[0] not in "#>"]
+    assert len(rows) > 100
+    cols = rows[0].split("\t")
+    assert len(cols) == 4
+    float(cols[1])      # LLR
+    assert len(cols[2]) == 9 and len(cols[3]) == 9
+    assert cols[2][4] == "T"
+
+
+def test_cli_align_then_traingmm(dataset, tmp_path):
+    out = os.path.join(tmp_path, "out.align")
+    rc = cli.main(["align", "-b", dataset.bam, "-r", dataset.reference_fa,
+                   "-i", dataset.index, "-o", out, "-l", "100"])
+    assert rc == 0
+    text = open(out).read()
+    rows = [l for l in text.splitlines() if l and l[0] not in "#>"]
+    assert len(rows) > 5000
+    # trainGMM over the align output (gates will pass for common 9-mers only
+    # on tiny data; just check the pipeline runs and writes a valid table)
+    model_out = os.path.join(tmp_path, "fit.model")
+    rc = cli.main(["trainGMM", "-d", out, "-o", model_out, "-e", "10000"])
+    assert rc == 0
+    assert open(model_out).readline().startswith("6mer\t")
+
+
+def test_cli_traincnn(dataset, tmp_path):
+    out = os.path.join(tmp_path, "out.trainCNN")
+    rc = cli.main(["trainCNN", "-b", dataset.bam, "-r", dataset.reference_fa,
+                   "-i", dataset.index, "-o", out, "-l", "100"])
+    assert rc == 0
+    text = open(out).read()
+    # annotated rows carry EdU/BrdU call columns at T-centred positions
+    rows = [l for l in text.splitlines() if l and l[0] not in "#>"]
+    assert len(rows) > 1000
+    n_annotated = sum(1 for r in rows if len(r.split("\t")) == 7)
+    assert n_annotated > 100
+
+
+def test_cli_forksense_and_seebreaks(tmp_path, monkeypatch):
+    # synthesise a detect file with clear fork structure
+    from tests.test_forksense import _synthetic_read
+    monkeypatch.chdir(tmp_path)
+    reads = []
+    for i in range(12):
+        reads.append(_synthetic_read(
+            seed=i, tracks=[(1000, 2200, "E"), (2300, 3500, "B")],
+            read_id=f"rf-{i}"))
+    for i in range(12):
+        reads.append(_synthetic_read(
+            seed=100 + i, tracks=[(4000, 5200, "B"), (5300, 6500, "E")],
+            read_id=f"lf-{i}"))
+    detect_path = os.path.join(tmp_path, "synthetic.detect")
+    with open(detect_path, "w") as fh:
+        fh.write("#Mode CNN\n")
+        for r in reads:
+            fh.write(f">{r.read_id} {r.contig} {r.ref_start} {r.ref_end} "
+                     f"{r.strand}\n")
+            for i in range(r.coords.shape[0]):
+                fh.write(f"{r.coords[i]}\t{r.edu[i]:.6f}\t{r.brdu[i]:.6f}\n")
+    out = os.path.join(tmp_path, "out.forkSense")
+    rc = cli.main(["forkSense", "-d", detect_path, "-o", out,
+                   "--order", "EdU,BrdU", "--markForks", "--markAnalogues",
+                   "--markOrigins", "--markTerminations"])
+    assert rc == 0
+    assert os.path.exists(out)
+    right_bed = os.path.join(tmp_path, "rightForks_DNAscent_forkSense.bed")
+    analogue_bed = os.path.join(tmp_path, "BrdU_DNAscent_forkSense.bed")
+    assert os.path.exists(right_bed)
+    n_forks = sum(1 for l in open(right_bed) if l[0] != "#")
+    assert n_forks >= 10
+
+    sb_out = os.path.join(tmp_path, "out.seeBreaks")
+    rc = cli.main(["seeBreaks", "-r", right_bed, "-a", analogue_bed,
+                   "-d", detect_path, "-o", sb_out])
+    assert rc == 0
+    assert "#nForks" in open(sb_out).read()
