@@ -107,10 +107,13 @@ def _build_state(p: PreparedRead, models: PoreModelSet,
     return _ReadState(p, codes, core, res, mean_ref, codes >= 0)
 
 
-def _next_window(st: _ReadState, cfg: SubstrateConfig,
-                 t_cap: int) -> Optional[_Window]:
-    """Advance ``st`` to its next usable window (alignment.cpp:555-650) or
-    mark it exhausted."""
+def _window_at(st: _ReadState, ri: int, cfg: SubstrateConfig, t_cap: int,
+               read_head: int) -> tuple[Optional[_Window], int]:
+    """Try to build a window at ``ri`` (alignment.cpp:555-650).
+
+    Returns (window_or_None, ref_advance_on_skip): when the window is
+    unusable the caller advances by the returned amount and retries.
+    """
     p = st.p
     k = cfg.kmer_len
     total_wl = cfg.window_length_align
@@ -120,70 +123,105 @@ def _next_window(st: _ReadState, cfg: SubstrateConfig,
     ev_mean = p.event_mean
     dmin, dmax = cfg.detect.event_mean_min, cfg.detect.event_mean_max
 
+    bases_to_end = ref_len - ri
+    wl = min(bases_to_end, total_wl)
+
+    if bases_to_end > 1.5 * total_wl:
+        # break-point search (alignment.cpp:562-595); snippet must be
+        # fully defined else skip the window
+        snip_len = int(1.5 * wl)
+        if not st.defined[ri : ri + snip_len].all():
+            return None, wl
+        limit = int(1.5 * wl - k - 1)
+        m = st.mean_ref
+        for i in range(wl, limit):
+            g1 = abs(m[ri + i] - m[ri + i + 1])
+            g2 = abs(m[ri + i] - m[ri + i - 1])
+            if g1 > 0.75 and g2 > 0.75:
+                wl = i + k
+                break
+
+    if not st.defined[ri : ri + wl].all():
+        return None, wl
+
+    lo = r2q[ri]
+    hi = r2q[ri + wl - k + 1]
+    # pairs[:,1] ascending: locate the in-range span from the cursor
+    j0 = np.searchsorted(pairs[:, 1], lo, side="left")
+    j0 = max(j0, read_head)
+    j1 = np.searchsorted(pairs[:, 1], hi, side="left")
+    if j1 <= j0:
+        return None, wl
+    first_inrange = int(j0)
+    ev_ids = pairs[j0:j1, 0]
+    means = ev_mean[ev_ids]
+    guard = (means > dmin) & (means < dmax)
+    ev_ids = ev_ids[guard]
+    means = means[guard]
+    if means.shape[0] < 2:
+        return None, wl
+    if means.shape[0] > t_cap:  # safety clip for pathological windows
+        ev_ids = ev_ids[:t_cap]
+        means = means[:t_cap]
+
+    query_span = int(hi - lo)
+    indel_score = query_span - (wl - k + 1)
+    if p.record.is_reverse:
+        ref_coord = p.record.ref_end - ri - k // 2
+    else:
+        ref_coord = p.record.ref_start + ri + k // 2
+    obs = ((means - p.shift) / p.scale).astype(np.float32)
+    return _Window(st, ri, wl, obs, ev_ids, first_inrange,
+                   indel_score, ref_coord), 0
+
+
+def _next_window(st: _ReadState, cfg: SubstrateConfig,
+                 t_cap: int) -> Optional[_Window]:
+    """Strict mode: advance ``st`` to its next usable window or mark it
+    exhausted.  The cursor (read_head) couples consecutive windows the way
+    the reference does."""
+    k = cfg.kmer_len
+    ref_len = len(st.p.record.reference_seq)
     while st.reference_index < ref_len - k + 1:
-        ri = st.reference_index
-        bases_to_end = ref_len - ri
-        wl = min(bases_to_end, total_wl)
-
-        if bases_to_end > 1.5 * total_wl:
-            # break-point search (alignment.cpp:562-595); snippet must be
-            # fully defined else skip the window
-            snip_len = int(1.5 * wl)
-            if not st.defined[ri : ri + snip_len].all():
-                st.reference_index += wl
-                continue
-            limit = int(1.5 * wl - k - 1)
-            m = st.mean_ref
-            for i in range(wl, limit):
-                g1 = abs(m[ri + i] - m[ri + i + 1])
-                g2 = abs(m[ri + i] - m[ri + i - 1])
-                if g1 > 0.75 and g2 > 0.75:
-                    wl = i + k
-                    break
-
-        if not st.defined[ri : ri + wl].all():
-            st.reference_index += wl
-            continue
-
-        lo = r2q[ri]
-        hi = r2q[ri + wl - k + 1]
-        # pairs[:,1] ascending: locate the in-range span from the cursor
-        j0 = np.searchsorted(pairs[:, 1], lo, side="left")
-        j0 = max(j0, st.read_head)
-        j1 = np.searchsorted(pairs[:, 1], hi, side="left")
-        if j1 <= j0:
-            st.reference_index += wl
-            continue
-        first_inrange = int(j0)
-        ev_ids = pairs[j0:j1, 0]
-        means = ev_mean[ev_ids]
-        guard = (means > dmin) & (means < dmax)
-        ev_ids = ev_ids[guard]
-        means = means[guard]
-        if means.shape[0] < 2:
-            st.reference_index += wl
-            continue
-        if means.shape[0] > t_cap:  # safety clip for pathological windows
-            ev_ids = ev_ids[:t_cap]
-            means = means[:t_cap]
-
-        query_span = int(hi - lo)
-        indel_score = query_span - (wl - k + 1)
-        if p.record.is_reverse:
-            ref_coord = p.record.ref_end - ri - k // 2
-        else:
-            ref_coord = p.record.ref_start + ri + k // 2
-        obs = ((means - p.shift) / p.scale).astype(np.float32)
-        return _Window(st, ri, wl, obs, ev_ids, first_inrange,
-                       indel_score, ref_coord)
-
+        w, skip = _window_at(st, st.reference_index, cfg, t_cap, st.read_head)
+        if w is not None:
+            return w
+        st.reference_index += skip
     st.exhausted = True
     return None
 
 
+def _build_all_windows(st: _ReadState, cfg: SubstrateConfig,
+                       t_cap: int) -> list[_Window]:
+    """Fast mode: build every window of the read up front.
+
+    TPU-first departure from the reference: instead of advancing by
+    ``lastM_ref + 1`` (which makes window n+1 depend on window n's Viterbi
+    result and serialises device dispatches), successful windows advance by
+    the full k-mer span ``wl - k + 1`` — contiguous, non-overlapping k-mer
+    coverage with disjoint event ranges, so every window of every read can
+    run in one device batch.  Strict mode (`strict=True`) retains the
+    reference's cursor coupling.
+    """
+    k = cfg.kmer_len
+    ref_len = len(st.p.record.reference_seq)
+    out = []
+    ri = 0
+    while ri < ref_len - k + 1:
+        w, skip = _window_at(st, ri, cfg, t_cap, read_head=0)
+        if w is None:
+            ri += skip
+        else:
+            out.append(w)
+            ri += w.window_length - k + 1
+    st.exhausted = True
+    return out
+
+
 def _process_window(w: _Window, path_kind: np.ndarray, path_pos: np.ndarray,
                     cfg: SubstrateConfig, collect_text: bool,
-                    calls: Optional[dict] = None) -> None:
+                    calls: Optional[dict] = None,
+                    update_cursor: bool = True) -> None:
     """Apply one window's Viterbi path (alignment.cpp:654-740): accumulate
     aligned positions (+ optional text) and advance the read cursors."""
     st = w.state
@@ -192,8 +230,9 @@ def _process_window(w: _Window, path_kind: np.ndarray, path_pos: np.ndarray,
     ri = w.ref_index
     S = path_kind.shape[0]
     if S == 0:
-        st.read_head = w.first_inrange + 1
-        st.reference_index = ri + 1
+        if update_cursor:
+            st.read_head = w.first_inrange + 1
+            st.reference_index = ri + 1
         return
 
     non_d = path_kind != vit.KIND_D
@@ -258,8 +297,9 @@ def _process_window(w: _Window, path_kind: np.ndarray, path_pos: np.ndarray,
             _emit_text(w, path_kind, path_pos, ev_idx, last_m_ev, scaled,
                        sample_off, m_steps, coords, cfg, calls)
 
-    st.read_head = w.first_inrange + last_m_ev + 1
-    st.reference_index = ri + last_m_ref + 1
+    if update_cursor:
+        st.read_head = w.first_inrange + last_m_ev + 1
+        st.reference_index = ri + last_m_ref + 1
 
 
 def _ranges(counts: np.ndarray) -> np.ndarray:
@@ -324,11 +364,63 @@ HMM_KEY = ("external_D2D", "external_D2M", "external_I2M", "external_M2D",
            "internal_M2I", "internal_I2I")
 
 
+def _viterbi_windows(windows: list[_Window], models: PoreModelSet,
+                     cfg: SubstrateConfig, hmm_probs, n_state_pad: int,
+                     t_buckets) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Run one batched Viterbi call over a list of windows; returns
+    (kinds, positions) per window in input order."""
+    W = 8
+    while W < len(windows):
+        W *= 2
+    T = max(w.obs_scaled.shape[0] for w in windows)
+    T = next(b for b in t_buckets if b >= T)
+    N = n_state_pad
+    obs = np.zeros((W, T), dtype=np.float32)
+    n_obs = np.zeros(W, dtype=np.int32)
+    mu = np.zeros((W, N), dtype=np.float32)
+    inv_s = np.ones((W, N), dtype=np.float32)
+    lpc = np.full((W, N), -np.float32(np.inf), dtype=np.float32)
+    n_states = np.ones(W, dtype=np.int32)
+    epb = np.ones(W, dtype=np.float32)
+    for i, w in enumerate(windows):
+        t = w.obs_scaled.shape[0]
+        obs[i, :t] = w.obs_scaled
+        n_obs[i] = t
+        ns = w.window_length - cfg.kmer_len + 1
+        n_states[i] = ns
+        p = w.state.p
+        ranks = np.where(p.kmer_ranks_ref < 0, 0, p.kmer_ranks_ref)
+        rr = ranks[w.ref_index : w.ref_index + ns]
+        mmu = models.pore_model[rr, 0]
+        msd = models.pore_model[rr, 1]
+        mu[i, :ns] = mmu
+        inv_s[i, :ns] = 1.0 / msd
+        lpc[i, :ns] = LOG_INV_SQRT_2PI - np.log(msd)
+        epb[i] = p.events_per_base
+    pk, pp, pl, _score = vit.viterbi_jit(
+        jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(mu),
+        jnp.asarray(inv_s), jnp.asarray(lpc), jnp.asarray(n_states),
+        jnp.asarray(epb), hmm_probs)
+    pk = np.asarray(pk); pp = np.asarray(pp); pl = np.asarray(pl)
+    L = pk.shape[1]
+    return [(pk[i, L - pl[i]:], pp[i, L - pl[i]:].astype(np.int64))
+            for i in range(len(windows))]
+
+
 def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                    cfg: SubstrateConfig = DNA_R10, collect_text: bool = False,
                    calls_per_read: Optional[dict] = None,
-                   n_state_pad: int = 72) -> dict[str, EventalignResult]:
-    """Drive the window wavefront for a batch of prepared reads.
+                   n_state_pad: int = 72, strict: bool = False,
+                   max_windows_per_batch: int = 4096
+                   ) -> dict[str, EventalignResult]:
+    """Drive eventalign for a batch of prepared reads.
+
+    Fast mode (default): every window of every read is built up front and
+    processed in a handful of large device batches (windows advance by their
+    full k-mer span, so they are independent).  Strict mode reproduces the
+    reference's sequential window coupling (``reference_index += lastM_ref +
+    1``; alignment.cpp:738-740) via a wavefront over reads — one window per
+    read per device round.
 
     Returns {read_id: EventalignResult}.  Reads that failed earlier stages
     come back with qc_passed=False and no positions.
@@ -345,61 +437,51 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
 
     t_buckets = (64, 128, 256, 512, 1024)
     t_cap = t_buckets[-1]
-    active = [s for s in states if not s.exhausted]
-    while active:
-        windows: list[_Window] = []
-        still = []
-        for st in active:
-            w = _next_window(st, cfg, t_cap)
-            if w is not None:
-                windows.append(w)
-                still.append(st)
-        if not windows:
-            break
-        # pad the window batch to a stable lane count so the jitted kernel is
-        # not recompiled every time a read finishes its last window
-        W = 8
-        while W < len(windows):
-            W *= 2
-        T = max(w.obs_scaled.shape[0] for w in windows)
-        T = next(b for b in t_buckets if b >= T)
-        N = n_state_pad
-        obs = np.zeros((W, T), dtype=np.float32)
-        n_obs = np.zeros(W, dtype=np.int32)
-        mu = np.zeros((W, N), dtype=np.float32)
-        inv_s = np.ones((W, N), dtype=np.float32)
-        lpc = np.full((W, N), -np.float32(np.inf), dtype=np.float32)
-        n_states = np.ones(W, dtype=np.int32)
-        epb = np.ones(W, dtype=np.float32)
-        for i, w in enumerate(windows):
-            t = w.obs_scaled.shape[0]
-            obs[i, :t] = w.obs_scaled
-            n_obs[i] = t
-            ns = w.window_length - cfg.kmer_len + 1
-            n_states[i] = ns
-            p = w.state.p
-            ranks = np.where(p.kmer_ranks_ref < 0, 0, p.kmer_ranks_ref)
-            rr = ranks[w.ref_index : w.ref_index + ns]
-            mmu = models.pore_model[rr, 0]
-            msd = models.pore_model[rr, 1]
-            mu[i, :ns] = mmu
-            inv_s[i, :ns] = 1.0 / msd
-            lpc[i, :ns] = LOG_INV_SQRT_2PI - np.log(msd)
-            epb[i] = p.events_per_base
-        pk, pp, pl, score = vit.viterbi_jit(
-            jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(mu),
-            jnp.asarray(inv_s), jnp.asarray(lpc), jnp.asarray(n_states),
-            jnp.asarray(epb), hmm_probs)
-        pk = np.asarray(pk); pp = np.asarray(pp); pl = np.asarray(pl)
-        L = pk.shape[1]
-        for i, w in enumerate(windows):
-            kinds = pk[i, L - pl[i]:]
-            poss = pp[i, L - pl[i]:].astype(np.int64)
-            calls = None
-            if calls_per_read is not None:
-                calls = calls_per_read.get(w.state.p.record.read_id)
-            _process_window(w, kinds, poss, cfg, collect_text, calls)
-        active = [s for s in still if not s.exhausted]
+
+    def get_calls(w):
+        if calls_per_read is None:
+            return None
+        return calls_per_read.get(w.state.p.record.read_id)
+
+    if strict:
+        active = [s for s in states if not s.exhausted]
+        while active:
+            windows: list[_Window] = []
+            still = []
+            for st in active:
+                w = _next_window(st, cfg, t_cap)
+                if w is not None:
+                    windows.append(w)
+                    still.append(st)
+            if not windows:
+                break
+            for w, (kinds, poss) in zip(
+                    windows, _viterbi_windows(windows, models, cfg, hmm_probs,
+                                              n_state_pad, t_buckets)):
+                _process_window(w, kinds, poss, cfg, collect_text,
+                                get_calls(w))
+            active = [s for s in still if not s.exhausted]
+    else:
+        all_windows: list[_Window] = []
+        for st in states:
+            all_windows.extend(_build_all_windows(st, cfg, t_cap))
+        # batch by T bucket to keep padding tight, preserving per-read order
+        # during processing
+        results: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        order = sorted(range(len(all_windows)),
+                       key=lambda i: all_windows[i].obs_scaled.shape[0])
+        for c0 in range(0, len(order), max_windows_per_batch):
+            chunk_ids = order[c0 : c0 + max_windows_per_batch]
+            chunk = [all_windows[i] for i in chunk_ids]
+            for wid, res in zip(chunk_ids,
+                                _viterbi_windows(chunk, models, cfg,
+                                                 hmm_probs, n_state_pad,
+                                                 t_buckets)):
+                results[wid] = res
+        for i, w in enumerate(all_windows):
+            kinds, poss = results[i]
+            _process_window(w, kinds, poss, cfg, collect_text, get_calls(w),
+                            update_cursor=False)
 
     for st in states:
         rid = st.p.record.read_id
