@@ -31,6 +31,8 @@ BASELINE_READS_PER_S = float(os.environ.get("BENCH_BASELINE", "25.0"))
 
 
 def main():
+    from dnascent_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     from dnascent_tpu.config import DNA_R10
     from dnascent_tpu.io.poremodel import synthetic_model_set
     from dnascent_tpu.models import cnn as cnn_mod

@@ -81,6 +81,9 @@ def _detect_parser(prog, min_l_default):
     p.add_argument("--cnn-weights", default=None,
                    help="npz weights for the detect CNN (dnascent-tpu "
                    "extension; untrained weights otherwise)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip reads already present in the output file "
+                   "(dnascent-tpu extension: restartable runs)")
     return p
 
 
@@ -121,6 +124,18 @@ def main_detect(argv):
     models = _load_models(cfg)
     src, ref, missing = _open_source(a, cfg, a.length)
 
+    done_ids = set()
+    if a.resume and human_readable and os.path.exists(a.output):
+        # checkpoint/resume: the reference restarts whole runs only (SURVEY
+        # §5); here completed reads are skipped and output is appended
+        with open(a.output) as fh:
+            for line in fh:
+                if line.startswith(">"):
+                    done_ids.add(line[1:].split()[0])
+        print(f"resume: skipping {len(done_ids)} completed reads",
+              file=sys.stderr)
+        src = (r for r in src if r.read_id not in done_ids)
+
     from .io.writers import DetectHRWriter, detect_header
     from .pipeline.detect import DetectStats, detect_reads
 
@@ -142,9 +157,12 @@ def main_detect(argv):
     else:
         model, params = _load_cnn(a)
         if human_readable:
-            with DetectHRWriter(a.output) as w:
-                w.write_header(detect_header(a.bam, a.reference, a.index,
-                                             a.threads, a.quality, a.length))
+            mode = "a" if (a.resume and done_ids) else "w"
+            with DetectHRWriter(a.output, mode=mode) as w:
+                if mode == "w":
+                    w.write_header(detect_header(a.bam, a.reference, a.index,
+                                                 a.threads, a.quality,
+                                                 a.length))
                 for _rid, d in detect_reads(src, models, model, params, cfg,
                                             stats=stats):
                     w.write(d)
@@ -407,6 +425,8 @@ SUBCOMMANDS = {
 
 
 def main(argv=None):
+    from .utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(GENERAL_HELP)

@@ -45,8 +45,8 @@ class DetectHRWriter:
     """Human-readable .detect writer (OutputWriter HR strategy,
     detect.h:21-64)."""
 
-    def __init__(self, path: str):
-        self._fh: Optional[io.TextIOBase] = open(path, "w")
+    def __init__(self, path: str, mode: str = "w"):
+        self._fh: Optional[io.TextIOBase] = open(path, mode)
 
     def write_header(self, header: str) -> None:
         self._fh.write(header)
