@@ -1,0 +1,331 @@
+"""Pallas TPU kernel for the adaptive banded fill.
+
+Same contract as ops.banded.banded_fill (the XLA scan version), built for
+speed-of-light on the VPU.  Mosaic does not allow dynamic lane-offset vector
+loads, so the kernel never indexes dynamically:
+
+* sequential grid over packed 4-band steps — on TPU the grid executes in
+  order on one core, so VMEM scratch carries the DP state between steps;
+* each read keeps *sliding windows* over its emission coefficients and
+  events: 256-lane VMEM buffers whose lane 0 tracks the band's lower-left
+  corner.  A band advance shifts the window by one lane (a static shift
+  selected per read), and every 128 bands the windows are re-fetched with
+  per-row DMAs from HBM (arbitrary byte offsets are legal for DMA);
+* emission uses the quadratic form A + B*x + C*x^2 per query k-mer; the
+  three coefficient planes are stacked as (3B, 256) so one shift op slides
+  them all;
+* Suzuki decisions, predecessor shifts, scores, trim cells, validity masks,
+  and the final-k-mer start-cell tracking are fully vectorised over (B, W);
+* traceback codes pack four bands per byte, rights one bit per band —
+  identical to the scan version, so the same host unpack/backtrace applies.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = np.float32(-np.inf)
+FROM_D, FROM_U, FROM_L = 0, 1, 2
+WIN = 256          # sliding window lanes
+REFILL_STEPS = 32  # refill every 32 grid steps = 128 bands (<= WIN - W - 4)
+
+
+def _kernel(n_ev_ref, n_km_ref, lp_stay_ref, lp_step_ref,   # scalar prefetch
+            coef_ref, ev_ref, revmat_ref,                   # HBM inputs
+            trace_ref, rights_ref, best_score_ref, best_event_ref,  # outputs
+            prev1, prev2, win_coef, win_ev, e0v_s, k0v_s, rp_s,
+            best_s, best_e,                                 # scratch
+            *, B: int, W: int, lp_skip: float, lp_trim: float,
+            Kp: int, Ep: int, n_steps: int):
+    step = pl.program_id(0)
+    offs = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    half = W // 2
+
+    @pl.when(step == 0)
+    def _init():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        prev2[:] = jnp.where(lane == half, jnp.float32(0.0), NEG)
+        prev1[:] = jnp.where(lane == half, jnp.float32(lp_trim), NEG)
+        e0v_s[:] = jnp.full((B, 1), half, jnp.int32)
+        k0v_s[:] = jnp.full((B, 1), -1 - half, jnp.int32)
+        rp_s[:] = jnp.zeros((B, 1), jnp.int32)
+        best_s[:] = jnp.full((B, 1), NEG)
+        best_e[:] = jnp.zeros((B, 1), jnp.int32)
+
+    @pl.when(step % REFILL_STEPS == 0)
+    def _refill():
+        # windows are refilled from VMEM-resident inputs: a 128-aligned
+        # 384-lane slice (alignment provable, so Mosaic allows the dynamic
+        # offset) rotated into place with a dynamic lane rotate
+        e0 = e0v_s[:]
+        k0 = k0v_s[:]
+        for b in range(B):
+            k0_b = k0[b, 0]
+            e0_b = e0[b, 0]
+            ks = jnp.clip(k0_b + W, 0, Kp - 384)
+            es = jnp.clip(e0_b + 1, 0, Ep - 384)
+            kbase = pl.multiple_of((ks // 128) * 128, 128)
+            ebase = pl.multiple_of((es // 128) * 128, 128)
+            krem = ks - kbase
+            erem = es - ebase
+            for c in range(3):
+                sl = coef_ref[c * B + b : c * B + b + 1, pl.ds(kbase, 384)]
+                rot = pltpu.roll(sl, 384 - krem, 1)
+                win_coef[c * B + b : c * B + b + 1, :] = rot[:, :WIN]
+            sl = ev_ref[b : b + 1, pl.ds(ebase, 384)]
+            rot = pltpu.roll(sl, 384 - erem, 1)
+            win_ev[b : b + 1, :] = rot[:, :WIN]
+
+    # accumulate packs in i32 (Mosaic lacks i8 vector shifts); cast at write
+    trace_acc = jnp.zeros((B, W), dtype=jnp.int32)
+    rights_acc = jnp.zeros((B, 1), dtype=jnp.int32)
+    bs = best_s[:]
+    be = best_e[:]
+    e0v = e0v_s[:]
+    k0v = k0v_s[:]
+    rp = rp_s[:]
+    lp_stay_v = jnp.stack([lp_stay_ref[b] for b in range(B)]).reshape(B, 1)
+    lp_step_v = jnp.stack([lp_step_ref[b] for b in range(B)]).reshape(B, 1)
+    n_ev_v = jnp.stack([n_ev_ref[b] for b in range(B)]).reshape(B, 1)
+    n_km_v = jnp.stack([n_km_ref[b] for b in range(B)]).reshape(B, 1)
+
+    wc = win_coef[:]
+    we = win_ev[:]
+    p1 = prev1[:]
+    p2 = prev2[:]
+
+    def shift_left_lane(x):
+        return jnp.concatenate(
+            [x[:, 1:], jnp.zeros((x.shape[0], 1), x.dtype)], axis=1)
+
+    for j in range(4):
+        band_idx = step * 4 + j + 2
+        ll = p1[:, 0:1]
+        ur = p1[:, W - 1 : W]
+        both_ob = (ll == NEG) & (ur == NEG)
+        # keep the decision in i32: scalar-bool -> vector-bool broadcasts hit
+        # an unsupported i8->i1 truncation in Mosaic
+        right_i = jnp.where(both_ob, band_idx % 2,
+                            (ll < ur).astype(jnp.int32))  # (B,1) i32
+        rb = right_i == 1
+
+        e0v = e0v + (1 - right_i)
+        k0v = k0v + right_i
+
+        # slide the windows: kmer windows advance on right-moves, the event
+        # window on down-moves (both by one lane)
+        rb3 = jnp.concatenate([rb, rb, rb], axis=0)      # (3B,1)
+        wc = jnp.where(rb3, shift_left_lane(wc), wc)
+        we = jnp.where(rb, we, shift_left_lane(we))
+
+        cA = wc[0 * B : 1 * B, :W]
+        cB = wc[1 * B : 2 * B, :W]
+        cC = wc[2 * B : 3 * B, :W]
+        # lane reversal via an exact permutation matmul (Mosaic lacks rev):
+        # ev[e0 - o] = win[W-1-o]
+        ev = jax.lax.dot_general(we[:, :W], revmat_ref[:],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+        def shift_up(p):
+            return jnp.concatenate([p[:, 1:], jnp.full((B, 1), NEG)], axis=1)
+
+        def shift_down(p):
+            return jnp.concatenate([jnp.full((B, 1), NEG), p[:, :-1]], axis=1)
+
+        up = jnp.where(rb, shift_up(p1), p1)
+        left = jnp.where(rb, p1, shift_down(p1))
+        ddv = right_i + rp
+        diag = jnp.where(ddv == 0, shift_down(p2),
+                         jnp.where(ddv == 1, p2, shift_up(p2)))
+        rp = right_i
+
+        em = cA + cB * ev + cC * ev * ev
+        score_d = diag + lp_step_v + em
+        score_u = up + lp_stay_v + em
+        score_l = left + np.float32(lp_skip)
+        max_du = jnp.maximum(score_d, score_u)
+        from_du = jnp.where(max_du == score_u, FROM_U, FROM_D)
+        max_all = jnp.maximum(max_du, score_l)
+        frm = jnp.where(max_all == score_l, FROM_L, from_du)  # i32
+
+        e = e0v - offs
+        k = k0v + offs
+        valid = (e >= 0) & (e < n_ev_v) & (k >= 0) & (k < n_km_v)
+        band = jnp.where(valid, max_all, NEG)
+        frm = jnp.where(valid, frm, 0)
+
+        # trim state (event_handling.cpp:255-265)
+        ot = -1 - k0v
+        e_trim = e0v - ot
+        trim_ok = (ot >= 0) & (ot < W) & (e_trim >= 0) & (e_trim < n_ev_v)
+        is_trim = (offs == ot) & trim_ok
+        band = jnp.where(is_trim,
+                         np.float32(lp_trim) * (e_trim.astype(jnp.float32) + 1.0),
+                         band)
+        frm = jnp.where(is_trim, FROM_U, frm)
+
+        p2 = p1
+        p1 = band
+        trace_acc = trace_acc | (frm << (2 * j))
+        rights_acc = rights_acc | (right_i << j)
+
+        # start-cell tracking as a masked lane reduction
+        # (event_handling.cpp:324-340)
+        o_fin = (n_km_v - 1) - k0v
+        e_fin = e0v - o_fin
+        ok = ((o_fin >= 0) & (o_fin < W) & (e_fin >= 0) & (e_fin < n_ev_v))
+        fin_val = jnp.max(jnp.where(offs == o_fin, band, NEG), axis=1,
+                          keepdims=True)
+        cand = fin_val + (n_ev_v - e_fin).astype(jnp.float32) \
+            * np.float32(lp_trim)
+        better = ok & (cand > bs)
+        bs = jnp.where(better, cand, bs)
+        be = jnp.where(better, e_fin, be)
+
+    prev2[:] = p2
+    prev1[:] = p1
+    win_coef[:] = wc
+    win_ev[:] = we
+    e0v_s[:] = e0v
+    k0v_s[:] = k0v
+    rp_s[:] = rp
+    best_s[:] = bs
+    best_e[:] = be
+    trace_ref[0] = trace_acc.astype(jnp.uint8)
+    rights_ref[0] = rights_acc.astype(jnp.uint8).reshape(1, B)
+
+    @pl.when(step == n_steps - 1)
+    def _final():
+        best_score_ref[:] = bs.reshape(1, B)
+        best_event_ref[:] = be.reshape(1, B)
+
+
+def banded_fill_pallas(scaled_events: jnp.ndarray,   # (B, E) f32
+                       mu: jnp.ndarray,              # (B, K) f32
+                       inv_sigma: jnp.ndarray,       # (B, K) f32
+                       lp_const: jnp.ndarray,        # (B, K) f32
+                       n_events: jnp.ndarray,        # (B,) i32
+                       n_kmers: jnp.ndarray,         # (B,) i32
+                       bandwidth: int = 100,
+                       epsilon_skip: float = 1e-30,
+                       p_trim: float = 0.01):
+    """Pallas drop-in for ops.banded.banded_fill (same outputs).
+
+    The batch is padded to a multiple of 8 rows (sub-8 sublane batches hit
+    Mosaic lowering gaps); padded rows are stripped from the outputs.
+    """
+    B0, E = scaled_events.shape
+    Bpad = (-B0) % 8
+    if Bpad:
+        zf = lambda x, fill=0.0: jnp.pad(x, ((0, Bpad), (0, 0)),
+                                         constant_values=fill)
+        scaled_events = zf(scaled_events)
+        mu = zf(mu)
+        inv_sigma = zf(inv_sigma, 1.0)
+        lp_const = zf(lp_const)
+        n_events = jnp.pad(n_events, (0, Bpad), constant_values=2)
+        n_kmers = jnp.pad(n_kmers, (0, Bpad), constant_values=2)
+    B = B0 + Bpad
+    K = mu.shape[1]
+    W = bandwidth
+    assert W + 4 * REFILL_STEPS <= WIN, "refill cadence exceeds window slack"
+    n_bands = E + K + 2
+    n_steps = (n_bands - 2 + 3) // 4
+
+    fE = n_events.astype(jnp.float32)
+    fK = n_kmers.astype(jnp.float32)
+    p_stay = 1.0 - (1.0 / (fE / fK + 1.0))
+    lp_stay = jnp.log(p_stay).astype(jnp.float32)
+    lp_step = jnp.log1p(-(jnp.float32(epsilon_skip) + p_stay)).astype(jnp.float32)
+    lp_skip = float(np.log(epsilon_skip))
+    lp_trim = float(np.log(p_trim))
+
+    # quadratic emission coefficients: em = A + B*x + C*x^2
+    inv2 = inv_sigma * inv_sigma
+    cC = (-0.5 * inv2).astype(jnp.float32)
+    cB = (mu * inv2).astype(jnp.float32)
+    cA = (lp_const - 0.5 * (mu * inv_sigma) ** 2).astype(jnp.float32)
+
+    # pad: W slack left (negative k0 early on), WIN + advance slack right so
+    # every clipped refill window stays in range; lanes multiple of 128
+    def _round_up(v, m):
+        return ((v + m - 1) // m) * m
+
+    Kp = _round_up(K + W + 384 + 4 * REFILL_STEPS + 8, 128)
+    Ep = _round_up(E + W + 384 + 4 * REFILL_STEPS + 8, 128)
+
+    def _pad_to(x, total, fill=0.0):
+        return jnp.pad(x, ((0, 0), (W, total - x.shape[-1] - W)),
+                       constant_values=fill)
+
+    coef = jnp.concatenate([
+        _pad_to(cA, Kp, NEG),
+        _pad_to(cB, Kp),
+        _pad_to(cC, Kp),
+    ], axis=0)                          # (3B, Kp) row-stacked
+    ev_p = _pad_to(scaled_events, Ep)   # (B, Ep)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # coef
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # events
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # reversal matrix
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, W), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # trace
+            pl.BlockSpec((1, 1, B), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # rights
+            pl.BlockSpec((1, B), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),   # best_score
+            pl.BlockSpec((1, B), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),   # best_event
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, W), jnp.float32),        # prev1
+            pltpu.VMEM((B, W), jnp.float32),        # prev2
+            pltpu.VMEM((3 * B, WIN), jnp.float32),  # win_coef
+            pltpu.VMEM((B, WIN), jnp.float32),      # win_ev
+            pltpu.VMEM((B, 1), jnp.int32),          # e0v
+            pltpu.VMEM((B, 1), jnp.int32),          # k0v
+            pltpu.VMEM((B, 1), jnp.int32),          # right_prev
+            pltpu.VMEM((B, 1), jnp.float32),        # best_s
+            pltpu.VMEM((B, 1), jnp.int32),          # best_e
+        ],
+    )
+    kernel = functools.partial(_kernel, B=B, W=W, lp_skip=lp_skip,
+                               lp_trim=lp_trim, Kp=Kp, Ep=Ep,
+                               n_steps=n_steps)
+    trace, rights, best_score, best_event = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_steps, B, W), jnp.uint8),
+            jax.ShapeDtypeStruct((n_steps, 1, B), jnp.uint8),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ),
+    )(n_events.astype(jnp.int32), n_kmers.astype(jnp.int32),
+      lp_stay, lp_step, coef, ev_p,
+      jnp.asarray(np.eye(W, dtype=np.float32)[::-1]))
+    return (trace[:, :B0, :], rights[:, 0, :B0], best_event[0, :B0],
+            best_score[0, :B0])
+
+
+@functools.partial(jax.jit, static_argnames=("bandwidth", "epsilon_skip",
+                                             "p_trim"))
+def banded_fill_pallas_jit(scaled_events, mu, inv_sigma, lp_const, n_events,
+                           n_kmers, bandwidth=100, epsilon_skip=1e-30,
+                           p_trim=0.01):
+    return banded_fill_pallas(scaled_events, mu, inv_sigma, lp_const,
+                              n_events, n_kmers, bandwidth, epsilon_skip,
+                              p_trim)

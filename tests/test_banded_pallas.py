@@ -1,0 +1,63 @@
+"""Pallas banded kernel vs the XLA scan kernel (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from dnascent_tpu.config import DNA_R10
+from dnascent_tpu.ops import banded
+
+
+def _inputs(models, rng, B=3, lens=(900, 1200, 700)):
+    from dnascent_tpu.ops import reference as ref
+    from dnascent_tpu.testing.simulate import simulate_read
+    from dnascent_tpu.utils import seqtools
+
+    reads = []
+    for i, ln in enumerate(lens):
+        sim = simulate_read(models.pore_model, DNA_R10, length=ln, seed=40 + i)
+        et = ref.detect_events(sim.raw)
+        me = ref.merge_events(et, sim.raw.shape[0])
+        ranks = seqtools.kmer_ranks(sim.sequence, 9)
+        ranks = np.where(ranks < 0, 0, ranks)
+        mm = models.pore_model[ranks, 0]
+        shift, scale = ref.estimate_scaling_quantiles(me.mean, mm)
+        reads.append((me, ranks, shift, scale))
+    E = max(r[0].mean.shape[0] for r in reads)
+    K = max(r[1].shape[0] for r in reads)
+    scaled = np.zeros((B, E), dtype=np.float32)
+    mu = np.zeros((B, K), dtype=np.float32)
+    ivs = np.ones((B, K), dtype=np.float32)
+    lpc = np.full((B, K), -np.float32(np.inf), np.float32)
+    n_ev = np.zeros(B, np.int32)
+    n_km = np.zeros(B, np.int32)
+    for b, (me, ranks, shift, scale) in enumerate(reads):
+        ne, nk = me.mean.shape[0], ranks.shape[0]
+        scaled[b, :ne] = (me.mean - shift) / scale
+        m, i_, l_ = banded.prepare_emission_coefficients(ranks[None], models.pore_model)
+        mu[b, :nk], ivs[b, :nk], lpc[b, :nk] = m[0], i_[0], l_[0]
+        n_ev[b], n_km[b] = ne, nk
+    return scaled, mu, ivs, lpc, n_ev, n_km
+
+
+def test_pallas_matches_scan_kernel(models, rng, monkeypatch):
+    from jax.experimental.pallas import tpu as pltpu
+    from dnascent_tpu.ops import banded_pallas
+
+    scaled, mu, ivs, lpc, n_ev, n_km = _inputs(models, rng)
+    args = [jnp.asarray(x) for x in (scaled, mu, ivs, lpc, n_ev, n_km)]
+    tp_s, rp_s, be_s, bs_s = banded.banded_fill_jit(*args)
+    with pltpu.force_tpu_interpret_mode():
+        tp_p, rp_p, be_p, bs_p = banded_pallas.banded_fill_pallas(*args)
+    tp_s, rp_s = np.asarray(tp_s), np.asarray(rp_s)
+    tp_p, rp_p = np.asarray(tp_p), np.asarray(rp_p)
+    assert tp_p.shape == tp_s.shape
+    # band placement decisions must agree exactly
+    np.testing.assert_array_equal(rp_p, rp_s)
+    # trace codes: tolerate rare float-associativity tie flips
+    for b in range(scaled.shape[0]):
+        nb = int(n_ev[b]) + int(n_km[b]) + 2
+        s = (nb - 2 + 3) // 4
+        mismatch = (tp_p[:s, b] != tp_s[:s, b]).mean()
+        assert mismatch < 2e-3, f"row {b}: {mismatch}"
+    np.testing.assert_array_equal(np.asarray(be_p), np.asarray(be_s))
