@@ -15,4 +15,13 @@ See ``dnascent_tpu.cli`` (or the ``dnascent-tpu`` console entry point).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if not _os.environ.get("DNASCENT_TPU_NO_CACHE"):
+    # kernel compiles through remote-compile tunnels cost minutes; the
+    # persistent cache pays that once per kernel per machine
+    from .utils.jaxcache import enable_compilation_cache as _ecc
+
+    _ecc()
+
 from .config import DNA_R10, SubstrateConfig, get_config  # noqa: F401

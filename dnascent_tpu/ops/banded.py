@@ -200,6 +200,136 @@ def banded_fill_jit(scaled_events, mu, inv_sigma, lp_const, n_events, n_kmers,
                        bandwidth, epsilon_skip, p_trim)
 
 
+MOVE_D, MOVE_U, MOVE_L, MOVE_PAD = 0, 1, 2, 3
+
+
+@functools.partial(jax.jit, static_argnames=("bandwidth",))
+def backtrace_moves_device(trace_packed: jnp.ndarray,   # (n_steps, B, W) u8
+                           rights_packed: jnp.ndarray,  # (n_steps, B) u8
+                           best_event: jnp.ndarray,     # (B,) i32
+                           n_kmers: jnp.ndarray,        # (B,) i32
+                           bandwidth: int = 100):
+    """On-device backtrace pointer chase, vectorised across the batch.
+
+    Emits the path as packed 2-bit moves in *backward* order (step 0 is the
+    path end at (best_event, n_kmers-1)), 4 moves per byte — ~25x smaller
+    than shipping the trace to the host.  Decoding, QC statistics and the
+    cleaned-signal aggregation are cheap vectorised host work
+    (decode_moves_host)."""
+    n_steps, B, W = trace_packed.shape
+    half = bandwidth // 2
+    # band lower-left event index per band: bll_e[band] for bands 0..
+    rights_bits = jnp.stack(
+        [(rights_packed >> j) & 1 for j in range(4)], axis=1
+    ).reshape(n_steps * 4, B)                       # (n_bands-2, B) in order
+    downs = 1 - rights_bits.astype(jnp.int32)
+    bll_e = jnp.concatenate([
+        jnp.full((2, B), 0, jnp.int32),             # bands 0,1 handled below
+        half + jnp.cumsum(downs, axis=0),
+    ], axis=0)
+    bll_e = bll_e.at[0].set(half - 1).at[1].set(half)
+
+    L = n_steps * 4 + 4
+    bidx = jnp.arange(B, dtype=jnp.int32)
+
+    def body(i, state):
+        e, k, done, buf = state
+        band = e + k + 2
+        srow = jnp.clip((band - 2) // 4, 0, n_steps - 1)
+        bit = ((band - 2) % 4) * 2
+        off = bll_e[jnp.clip(band, 0, bll_e.shape[0] - 1), bidx] - e
+        off_c = jnp.clip(off, 0, W - 1)
+        byte = trace_packed[srow, bidx, off_c].astype(jnp.int32)
+        code = (byte >> bit) & 3
+        # bands 0/1 only hold start/trim cells: treat as U (trim chain)
+        code = jnp.where(band < 2, MOVE_U, code)
+        active = ~done
+        is_d = active & (code == MOVE_D)
+        is_u = active & (code == MOVE_U)
+        is_l = active & (code == MOVE_L)
+        e = e - jnp.where(is_d | is_u, 1, 0)
+        k = k - jnp.where(is_d | is_l, 1, 0)
+        out_code = jnp.where(active, code, MOVE_PAD).astype(jnp.uint8)
+        done = done | (e < 0) | (k < 0)
+        buf = jax.lax.dynamic_update_slice(buf, out_code[None, :], (i, 0))
+        return e, k, done, buf
+
+    e0 = best_event.astype(jnp.int32)
+    k0 = n_kmers.astype(jnp.int32) - 1
+    done0 = (e0 < 0) | (k0 < 0)
+    buf0 = jnp.full((L, B), MOVE_PAD, dtype=jnp.uint8)
+    _, _, _, buf = jax.lax.fori_loop(0, L, body, (e0, k0, done0, buf0))
+    # pack 4 moves per byte for the transfer
+    Lp = (L + 3) // 4 * 4
+    buf = jnp.pad(buf, ((0, Lp - L), (0, 0)), constant_values=MOVE_PAD)
+    b4 = buf.reshape(Lp // 4, 4, B).astype(jnp.int32)
+    packed = (b4[:, 0] | (b4[:, 1] << 2) | (b4[:, 2] << 4)
+              | (b4[:, 3] << 6)).astype(jnp.uint8)
+    return packed                                     # (Lp/4, B) u8
+
+
+def decode_moves_host(packed: np.ndarray, col: int, best_event: int,
+                      n_kmers: int, event_means: np.ndarray,
+                      scaled_events: np.ndarray, mu: np.ndarray,
+                      inv_sigma: np.ndarray, lp_const: np.ndarray,
+                      query_to_ref: np.ndarray, kmer_ranks_ref: np.ndarray):
+    """Vectorised host decode of one read's packed move stream: event
+    alignment pairs, QC statistics, and Theil-Sen cleaned signals — the same
+    outputs as native.banded_backtrace (event_handling.cpp:318-443)."""
+    bytes_ = packed[:, col].astype(np.int64)
+    moves = np.stack([(bytes_ >> (2 * j)) & 3 for j in range(4)],
+                     axis=1).reshape(-1)
+    valid = moves != MOVE_PAD
+    n = int(np.argmax(~valid)) if (~valid).any() else moves.shape[0]
+    moves = moves[:n]
+    if n == 0:
+        return (np.empty((0, 2), np.int64), np.empty(0), np.empty(0, np.int64),
+                float("-inf"), False, 0)
+    is_d = moves == MOVE_D
+    is_u = moves == MOVE_U
+    is_l = moves == MOVE_L
+    # backward-order positions: e decreases on D/U, k on D/L
+    e = best_event - np.concatenate([[0], np.cumsum(is_d | is_u)[:-1]])
+    k = (n_kmers - 1) - np.concatenate([[0], np.cumsum(is_d | is_l)[:-1]])
+    pairs = np.stack([e[::-1], k[::-1]], axis=1).astype(np.int64)
+
+    a = (scaled_events[e] - mu[k]) * inv_sigma[k]
+    emission = lp_const[k] - np.float32(0.5) * a * a
+    avg_log_emission = float(np.mean(emission.astype(np.float64)))
+    spanned = bool(pairs[0, 1] == 0 and pairs[-1, 1] == n_kmers - 1)
+    # max gap: longest run of consecutive L moves
+    if is_l.any():
+        padded = np.concatenate([[0], is_l.view(np.int8), [0]])
+        d = np.diff(padded)
+        starts = np.nonzero(d == 1)[0]
+        ends = np.nonzero(d == -1)[0]
+        max_gap = int((ends - starts).max())
+    else:
+        max_gap = 0
+
+    # cleaned signals: D closes a segment of the current event mean plus the
+    # U-accumulated later events (backward order, event_handling.cpp:352-394)
+    d_steps = np.nonzero(is_d)[0]
+    cleaned_signals = np.empty(0)
+    cleaned_ranks = np.empty(0, np.int64)
+    if d_steps.shape[0]:
+        # segment for D at step t: steps (prev_d, t] that are D/U
+        seg_start = np.concatenate([[0], d_steps[:-1] + 1])
+        emitting = is_d | is_u
+        upto = d_steps[-1] + 1
+        vals = (event_means[e] * emitting)[:upto]
+        sums = np.add.reduceat(vals, seg_start)
+        counts = np.add.reduceat(emitting[:upto].astype(np.int64), seg_start)
+        means = sums / np.maximum(counts, 1)
+        k_at_d = k[d_steps]
+        por = query_to_ref[k_at_d]
+        keep = (por >= 0) & (por < kmer_ranks_ref.shape[0])
+        cleaned_signals = means[keep]
+        cleaned_ranks = kmer_ranks_ref[por[keep]]
+    return (pairs, cleaned_signals, cleaned_ranks, avg_log_emission, spanned,
+            max_gap)
+
+
 def prepare_emission_coefficients(kmer_ranks: np.ndarray, model: np.ndarray):
     """Host helper: gather (mu, 1/sigma, lp_const) for a (B, K) rank array.
     Ranks < 0 (undefined kmers) get -inf lp_const so they never win."""

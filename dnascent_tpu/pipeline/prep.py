@@ -108,6 +108,20 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
 
     bw = cfg.banded.bandwidth
     cleaned_per_read: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    import jax
+
+    def fill_backend(B, E, K):
+        """Pallas on accelerators when the inputs fit VMEM; XLA scan
+        otherwise (and always on CPU, where Pallas would interpret)."""
+        if jax.default_backend() == "cpu":
+            return banded.banded_fill_jit
+        vmem_bytes = 4 * (3 * B * (K + 700) + B * (E + 700))
+        if vmem_bytes > 11_000_000:
+            return banded.banded_fill_jit
+        from ..ops.banded_pallas import banded_fill_pallas_jit
+        return banded_fill_pallas_jit
+
     for (E, K), group in buckets.items():
         B = len(group)
         scaled = np.zeros((B, E), dtype=np.float32)
@@ -123,24 +137,43 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
                 p.kmer_ranks_query[None, :], models.pore_model)
             mu[b, :nk], inv_s[b, :nk], lpc[b, :nk] = m[0], i_[0], l_[0]
             n_ev[b], n_km[b] = ne, nk
-        tp, rp, best_e, _ = banded.banded_fill_jit(
+        fill = fill_backend(B, E, K)
+        tp, rp, best_e, _ = fill(
             jnp.asarray(scaled), jnp.asarray(mu), jnp.asarray(inv_s),
             jnp.asarray(lpc), jnp.asarray(n_ev), jnp.asarray(n_km),
             bandwidth=bw, epsilon_skip=cfg.banded.epsilon_skip,
             p_trim=cfg.banded.p_trim)
-        tp = np.asarray(tp); rp = np.asarray(rp); best_e = np.asarray(best_e)
+        use_device_bt = jax.default_backend() != "cpu"
+        if use_device_bt:
+            # on-device backtrace chase: only the packed 2-bit move streams
+            # cross the interconnect (~25x less than the trace matrices)
+            packed = np.asarray(banded.backtrace_moves_device(
+                tp, rp, jnp.asarray(best_e), jnp.asarray(n_km), bandwidth=bw))
+            best_e = np.asarray(best_e)
+        else:
+            tp = np.asarray(tp); rp = np.asarray(rp)
+            best_e = np.asarray(best_e)
         for b, p in enumerate(group):
             ne, nk = p.n_events, p.n_kmers
             n_bands = ne + nk + 2
-            tr, rg = banded.unpack_trace(tp[:, b : b + 1], rp[:, b : b + 1],
-                                         n_bands)
             q2r = np.full(p.n_kmers, -1, dtype=np.int64)
             q2r_src = p.record.query_to_ref[: p.n_kmers]
             q2r[: q2r_src.shape[0]] = q2r_src
-            pairs, cs, cr, avg_em, spanned, max_gap = native.banded_backtrace(
-                tr[:, 0, :], rg[:, 0].astype(np.uint8), n_bands, bw, ne, nk,
-                int(best_e[b]), p.event_mean, scaled[b, :ne], mu[b, :nk],
-                inv_s[b, :nk], lpc[b, :nk], q2r, p.kmer_ranks_ref)
+            if use_device_bt:
+                pairs, cs, cr, avg_em, spanned, max_gap = \
+                    banded.decode_moves_host(
+                        packed, b, int(best_e[b]), nk, p.event_mean,
+                        scaled[b, :ne], mu[b, :nk], inv_s[b, :nk],
+                        lpc[b, :nk], q2r, p.kmer_ranks_ref)
+            else:
+                tr, rg = banded.unpack_trace(tp[:, b : b + 1],
+                                             rp[:, b : b + 1], n_bands)
+                pairs, cs, cr, avg_em, spanned, max_gap = \
+                    native.banded_backtrace(
+                        tr[:, 0, :], rg[:, 0].astype(np.uint8), n_bands, bw,
+                        ne, nk, int(best_e[b]), p.event_mean, scaled[b, :ne],
+                        mu[b, :nk], inv_s[b, :nk], lpc[b, :nk], q2r,
+                        p.kmer_ranks_ref)
             qc = (avg_em >= cfg.banded.min_average_log_emission and spanned
                   and max_gap <= cfg.banded.max_gap_threshold
                   and cs.shape[0] >= cfg.banded.min_cleaned_events)

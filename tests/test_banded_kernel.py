@@ -131,3 +131,37 @@ def test_native_event_detect_matches_oracle(models):
     np.testing.assert_allclose(mean, me.mean, rtol=0, atol=1e-9)
     np.testing.assert_array_equal(start, me.raw_start)
     np.testing.assert_array_equal(end, me.raw_end)
+
+
+def test_device_backtrace_matches_native(models, batch, device_out):
+    """On-device move-stream backtrace + host decode vs native backtrace."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import jax.numpy as jnp
+    reads, scaled, mu, inv_s, lpc, n_ev, n_km = batch
+    tp, rp, best_e, best_s = device_out
+    packed = np.asarray(banded.backtrace_moves_device(
+        jnp.asarray(tp), jnp.asarray(rp), jnp.asarray(best_e),
+        jnp.asarray(n_km), bandwidth=DNA_R10.banded.bandwidth))
+    for b, read in enumerate(reads):
+        sim, me, ranks, shift, scale = read
+        ne, nk = int(n_ev[b]), int(n_km[b])
+        n_bands = ne + nk + 2
+        tr, rg = banded.unpack_trace(tp[:, b : b + 1], rp[:, b : b + 1],
+                                     n_bands)
+        q2r = np.arange(len(sim.sequence), dtype=np.int64)
+        want = native.banded_backtrace(
+            tr[:, 0, :], rg[:, 0].astype(np.uint8), n_bands,
+            DNA_R10.banded.bandwidth, ne, nk, int(best_e[b]),
+            me.mean, scaled[b, :ne], mu[b, :nk], inv_s[b, :nk], lpc[b, :nk],
+            q2r, ranks.astype(np.int64))
+        got = banded.decode_moves_host(
+            packed, b, int(best_e[b]), nk, me.mean, scaled[b, :ne],
+            mu[b, :nk], inv_s[b, :nk], lpc[b, :nk], q2r,
+            ranks.astype(np.int64))
+        np.testing.assert_array_equal(got[0], want[0])          # pairs
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-9)  # cleaned sig
+        np.testing.assert_array_equal(got[2], want[2])          # cleaned rank
+        assert abs(got[3] - want[3]) < 5e-3                     # avg emission
+        assert got[4] == want[4]                                # spanned
+        assert got[5] == want[5]                                # max gap
