@@ -360,6 +360,91 @@ def _emit_text(w, path_kind, path_pos, ev_idx, last_m_ev, scaled_m,
                 parts.append(f"{coord}\t{kmer_ref}\t{v:.6f}\t{'N' * k}\t0\n")
 
 
+def _process_read_windows_batched(st: _ReadState, windows: list[_Window],
+                                  paths: list[tuple[np.ndarray, np.ndarray]],
+                                  cfg: SubstrateConfig) -> None:
+    """Vectorised fast-mode post-processing of ALL of a read's windows at
+    once (no per-window Python) — produces the same AlignedPositions content
+    as repeated _process_window(update_cursor=False) calls without text or
+    calls handling."""
+    p = st.p
+    k = cfg.kmer_len
+    if not windows:
+        return
+    kinds = np.concatenate([pk for pk, _ in paths])
+    poss = np.concatenate([pp for _, pp in paths]).astype(np.int64)
+    steps_per = np.array([pk.shape[0] for pk, _ in paths])
+    win_id = np.repeat(np.arange(len(windows)), steps_per)
+    step_off = np.concatenate([[0], np.cumsum(steps_per)[:-1]])
+
+    non_d = kinds != vit.KIND_D
+    # per-window running event index (evIdx): global cumsum minus the
+    # cumulative count at each window start
+    cum = np.cumsum(non_d)
+    base = np.concatenate([[0], cum])[step_off]
+    ev_local = cum - 1 - np.repeat(base, steps_per)
+
+    is_m = kinds == vit.KIND_M
+    if not is_m.any():
+        return
+    m_sel = np.nonzero(is_m)[0]
+    m_win = win_id[m_sel]
+    m_pos = poss[m_sel]
+    # map local event index -> global merged-event id via per-window tables
+    ev_counts = np.array([w.event_ids.shape[0] for w in windows])
+    ev_off = np.concatenate([[0], np.cumsum(ev_counts)[:-1]])
+    all_ev_ids = np.concatenate([w.event_ids for w in windows])
+    m_ev = all_ev_ids[ev_off[m_win] + ev_local[m_sel]]
+
+    ri_arr = np.array([w.ref_index for w in windows])
+    rc_arr = np.array([w.reference_coord for w in windows])
+    indel_arr = np.array([w.indel_score for w in windows])
+    if p.record.is_reverse:
+        coords = rc_arr[m_win] - m_pos - 1
+    else:
+        coords = rc_arr[m_win] + m_pos
+    kmer_start = ri_arr[m_win] + m_pos
+    ref_idx = kmer_start + k // 2
+    query_idx = p.record.ref_to_query[ref_idx]
+
+    # group consecutive M steps at the same (window, pos): stay chains
+    key = m_win * (1 << 32) + m_pos
+    new_seg = np.diff(key, prepend=key[0] - 1) != 0
+    seg_first = np.nonzero(new_seg)[0]
+
+    # explode raw samples per M step, capped at RAWDEPTH per segment
+    rs, re_ = p.event_raw_start, p.event_raw_end
+    counts = (re_[m_ev] - rs[m_ev] + 1).astype(np.int64)
+    sample_off = np.concatenate([[0], np.cumsum(counts)])
+    sample_idx = np.repeat(rs[m_ev], counts) + _ranges(counts)
+    scaled = ((p.record.raw[sample_idx] - p.shift) / p.scale
+              ).astype(np.float32)
+    seg_id = np.cumsum(new_seg) - 1
+    n_seg = seg_first.shape[0]
+    seg_sample_start = sample_off[seg_first]
+    seg_sample_end = np.append(sample_off[seg_first[1:]],
+                               sample_off[-1])
+    seg_nsig = seg_sample_end - seg_sample_start
+    # (n_seg, RAWDEPTH) gather with masking
+    j = np.arange(RAWDEPTH)
+    gidx = seg_sample_start[:, None] + j[None, :]
+    valid = j[None, :] < np.minimum(seg_nsig, RAWDEPTH)[:, None]
+    sig = np.where(valid, scaled[np.clip(gidx, 0, scaled.shape[0] - 1)],
+                   0.0).astype(np.float32)
+
+    acc = st.acc
+    acc["coord"].append(coords[seg_first])
+    acc["kmer_start"].append(kmer_start[seg_first])
+    acc["query_idx"].append(query_idx[seg_first])
+    acc["ref_idx"].append(ref_idx[seg_first])
+    acc["core"].append(st.core_rank[kmer_start[seg_first]])
+    acc["res"].append(st.res_rank[kmer_start[seg_first]])
+    acc["sig"].append(sig)
+    acc["nsig"].append(seg_nsig)
+    acc["centerT"].append(st.ref_codes[kmer_start[seg_first] + k // 2] == 1)
+    acc["indel"].append(indel_arr[m_win[seg_first]])
+
+
 HMM_KEY = ("external_D2D", "external_D2M", "external_I2M", "external_M2D",
            "internal_M2I", "internal_I2I")
 
@@ -463,8 +548,11 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
             active = [s for s in still if not s.exhausted]
     else:
         all_windows: list[_Window] = []
+        win_range_per_state: list[tuple[_ReadState, int, int]] = []
         for st in states:
+            w0 = len(all_windows)
             all_windows.extend(_build_all_windows(st, cfg, t_cap))
+            win_range_per_state.append((st, w0, len(all_windows)))
         # batch by T bucket to keep padding tight, preserving per-read order
         # during processing
         results: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -478,10 +566,20 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                                                  hmm_probs, n_state_pad,
                                                  t_buckets)):
                 results[wid] = res
-        for i, w in enumerate(all_windows):
-            kinds, poss = results[i]
-            _process_window(w, kinds, poss, cfg, collect_text, get_calls(w),
-                            update_cursor=False)
+        simple = not collect_text and calls_per_read is None
+        for st, w0, w1 in win_range_per_state:
+            wins = all_windows[w0:w1]
+            if simple:
+                _process_read_windows_batched(
+                    st, wins,
+                    [(results[i][0], results[i][1].astype(np.int64))
+                     for i in range(w0, w1)], cfg)
+            else:
+                for i, w in zip(range(w0, w1), wins):
+                    kinds, poss = results[i]
+                    _process_window(w, kinds, poss.astype(np.int64), cfg,
+                                    collect_text, get_calls(w),
+                                    update_cursor=False)
 
     for st in states:
         rid = st.p.record.read_id
@@ -489,17 +587,22 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
         if not acc["coord"]:
             out[rid] = EventalignResult(None, None, False)
             continue
+        def cat(xs, dtype):
+            return np.concatenate([np.atleast_1d(np.asarray(x, dtype))
+                                   for x in xs])
+
         pos = AlignedPositions(
-            coord=np.asarray(acc["coord"], dtype=np.int64),
-            kmer_start=np.asarray(acc["kmer_start"], dtype=np.int64),
-            query_idx=np.asarray(acc["query_idx"], dtype=np.int64),
-            ref_idx=np.asarray(acc["ref_idx"], dtype=np.int64),
-            core_idx=np.asarray(acc["core"], dtype=np.int64),
-            residual_idx=np.asarray(acc["res"], dtype=np.int64),
-            signal=np.stack(acc["sig"]),
-            n_signals=np.asarray(acc["nsig"], dtype=np.int64),
-            center_is_T=np.asarray(acc["centerT"], dtype=bool),
-            indel_score=np.asarray(acc["indel"], dtype=np.int64),
+            coord=cat(acc["coord"], np.int64),
+            kmer_start=cat(acc["kmer_start"], np.int64),
+            query_idx=cat(acc["query_idx"], np.int64),
+            ref_idx=cat(acc["ref_idx"], np.int64),
+            core_idx=cat(acc["core"], np.int64),
+            residual_idx=cat(acc["res"], np.int64),
+            signal=np.concatenate(
+                [np.atleast_2d(np.asarray(s, np.float32)) for s in acc["sig"]]),
+            n_signals=cat(acc["nsig"], np.int64),
+            center_is_T=cat(acc["centerT"], bool),
+            indel_score=cat(acc["indel"], np.int64),
         )
         header = (f">{rid} {st.p.record.contig} {st.p.record.ref_start} "
                   f"{st.p.record.ref_end} {st.p.record.strand}\n")

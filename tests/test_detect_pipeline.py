@@ -105,3 +105,24 @@ def test_detect_end_to_end_and_writer(models, source, small_model, tmp_path):
     edu, brdu = float(cols[1]), float(cols[2])
     assert 0.0 <= edu <= 1.0 and 0.0 <= brdu <= 1.0
     assert cols[3][4] == "T"  # centre base of output kmers is always T
+
+
+def test_batched_window_processing_matches_per_window(models, prepped):
+    """Fast-mode batched post-processing vs the per-window path (exercised
+    via collect_text=True which forces the per-window code)."""
+    batched = run_eventalign(prepped, models, DNA_R10, collect_text=False)
+    perwin = run_eventalign(prepped, models, DNA_R10, collect_text=True)
+    for rid, rb in batched.items():
+        rp = perwin[rid]
+        assert rb.qc_passed == rp.qc_passed
+        if not rb.qc_passed:
+            continue
+        a, b = rb.positions, rp.positions
+        np.testing.assert_array_equal(a.coord, b.coord)
+        np.testing.assert_array_equal(a.kmer_start, b.kmer_start)
+        np.testing.assert_array_equal(a.query_idx, b.query_idx)
+        np.testing.assert_array_equal(a.core_idx, b.core_idx)
+        np.testing.assert_array_equal(a.residual_idx, b.residual_idx)
+        np.testing.assert_array_equal(a.n_signals, b.n_signals)
+        np.testing.assert_array_equal(a.center_is_T, b.center_is_T)
+        np.testing.assert_allclose(a.signal, b.signal, rtol=1e-6)
