@@ -147,6 +147,23 @@ class Pod5Tables:
     signal: "pa.Table"
 
 
+_TABLE_CACHE: dict[str, "Pod5Tables"] = {}
+_TABLE_CACHE_MAX = 4
+
+
+def _open_tables_cached(path: str) -> Pod5Tables:
+    """Parsed-table cache: reads stream file-by-file (the read source sorts
+    by filename like sortReadsByFilename, reads.cpp:16-38), so a tiny LRU
+    avoids re-parsing the container per read."""
+    t = _TABLE_CACHE.get(path)
+    if t is None:
+        t = _open_tables(path)
+        if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+        _TABLE_CACHE[path] = t
+    return t
+
+
 def _open_tables(path: str) -> Pod5Tables:
     if not HAVE_ARROW:
         raise RuntimeError("pyarrow unavailable; pod5 support disabled")
@@ -185,7 +202,7 @@ def pod5_extract_read_ids(path: str) -> list[tuple[str, int, int]]:
     """(read_id, batch, row) triples for the index
     (pod5_extract_readIDs, pod5.cpp:241-305).  Batches follow the read-table
     record batches."""
-    t = _open_tables(path)
+    t = _open_tables_cached(path)
     out = []
     row_global = 0
     reader_ids = _uuid_strs(t.reads.column("read_id"))
@@ -202,7 +219,7 @@ def pod5_extract_read_ids(path: str) -> list[tuple[str, int, int]]:
 def pod5_get_signal(path: str, read_id: str, batch: int | None = None,
                     row: int | None = None) -> np.ndarray:
     """Full raw signal in pA for a read (pod5_getSignal, pod5.cpp:24-106)."""
-    t = _open_tables(path)
+    t = _open_tables_cached(path)
     ids = _uuid_strs(t.reads.column("read_id"))
     try:
         idx = ids.index(read_id)

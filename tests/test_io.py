@@ -156,3 +156,33 @@ def test_dataset_and_source(tmp_path, models, fmt):
                 reverse_complement(r.basecall)
         else:
             assert ref["chrS"][r.ref_start : r.ref_end] == r.basecall
+
+
+def test_bedgraph_tool(tmp_path):
+    from dnascent_tpu.tools import bedgraph
+    detect = os.path.join(tmp_path, "x.detect")
+    with open(detect, "w") as fh:
+        fh.write("#Mode CNN\n>r1 chr1 100 200 fwd\n")
+        for i in range(5):
+            fh.write(f"{100+i}\t0.1\t0.9\tAAAATAAAA\n")
+    out = os.path.join(tmp_path, "bg")
+    n = bedgraph.convert_detect(detect, out, None)
+    assert n == 1
+    files = [f for d, _, fs in os.walk(out) for f in fs]
+    assert any("BrdU" in f for f in files)
+    assert any("EdU" in f for f in files)
+
+
+def test_merge_host_outputs(tmp_path):
+    from dnascent_tpu.parallel.merge import merge_host_outputs
+    a = os.path.join(tmp_path, "out.host0")
+    b = os.path.join(tmp_path, "out.host1")
+    open(a, "w").write("#H\n>r2 chr1 500 600 fwd\n500\t0.1\t0.2\tK\n")
+    open(b, "w").write("#H\n>r1 chr1 100 200 fwd\n100\t0.3\t0.4\tK\n"
+                       ">r3 chr2 50 60 fwd\n50\t0.5\t0.6\tK\n")
+    out = os.path.join(tmp_path, "out.detect")
+    n = merge_host_outputs([a, b], out)
+    assert n == 3
+    text = open(out).read()
+    # canonical (contig, start) order regardless of host layout
+    assert text.index(">r1") < text.index(">r2") < text.index(">r3")
