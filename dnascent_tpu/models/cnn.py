@@ -72,8 +72,10 @@ class DetectCNN(nn.Module):
 
     @nn.compact
     def __call__(self, core_idx, residual_idx, signal):
-        """core_idx/residual_idx: (B, L) int32; signal: (B, L, RAWDEPTH) f32.
+        """core_idx/residual_idx: (B, L) int32; signal: (B, L, RAWDEPTH)
+        float (f16 accepted for cheap host->device transfer).
         Returns (B, L, 3) float32 class probabilities."""
+        signal = signal.astype(jnp.float32)
         mask = (signal != 0.0)
         nvalid = jnp.maximum(mask.sum(-1, keepdims=True), 1)
         mean = jnp.sum(signal * mask, -1, keepdims=True) / nvalid

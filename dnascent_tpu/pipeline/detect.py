@@ -82,7 +82,8 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
             B = len(chunk)
             core = np.zeros((B, L), dtype=np.int32)
             resid = np.zeros((B, L), dtype=np.int32)
-            sig = np.zeros((B, L, cnn_mod.RAWDEPTH), dtype=np.float32)
+            # f16 transfer: halves host->device bytes; the model upcasts
+            sig = np.zeros((B, L, cnn_mod.RAWDEPTH), dtype=np.float16)
             for b, (p, pos) in enumerate(chunk):
                 n = pos.coord.shape[0]
                 core[b, :n] = pos.core_idx
