@@ -211,3 +211,18 @@ def viterbi_jit(obs, n_obs, mu, inv_sigma, lp_const, n_states, events_per_base,
                 hmm_probs):
     return viterbi_fill_backtrace(obs, n_obs, mu, inv_sigma, lp_const,
                                   n_states, events_per_base, hmm_probs)
+
+
+@functools.partial(jax.jit, static_argnames=("hmm_probs",))
+def viterbi_from_ranks_jit(obs, n_obs, ranks, model_table, n_states,
+                           events_per_base, hmm_probs):
+    """Variant taking per-state k-mer ranks + the (4^k, 2) pore-model table
+    (device-resident) instead of three per-window coefficient planes — one
+    i32 upload instead of three f32 uploads per batch."""
+    mu = model_table[ranks, 0]
+    sigma = jnp.maximum(model_table[ranks, 1], 1e-6)  # guard zero rows
+    inv_sigma = 1.0 / sigma
+    lp_const = jnp.float32(np.log(0.3989422804014327)) - jnp.log(sigma)
+    lp_const = jnp.where(ranks < 0, NEG, lp_const)
+    return viterbi_fill_backtrace(obs, n_obs, mu, inv_sigma, lp_const,
+                                  n_states, events_per_base, hmm_probs)

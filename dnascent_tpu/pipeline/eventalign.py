@@ -449,11 +449,28 @@ HMM_KEY = ("external_D2D", "external_D2M", "external_I2M", "external_M2D",
            "internal_M2I", "internal_I2I")
 
 
+_MODEL_TABLE_CACHE: dict[int, object] = {}
+
+
+def _device_model_table(models: PoreModelSet):
+    """Upload the pore-model table once per process; jax reuses the resident
+    array across viterbi calls."""
+    key = id(models.pore_model)
+    t = _MODEL_TABLE_CACHE.get(key)
+    if t is None:
+        t = jnp.asarray(models.pore_model.astype(np.float32))
+        _MODEL_TABLE_CACHE.clear()
+        _MODEL_TABLE_CACHE[key] = t
+    return t
+
+
 def _viterbi_windows(windows: list[_Window], models: PoreModelSet,
                      cfg: SubstrateConfig, hmm_probs, n_state_pad: int,
                      t_buckets) -> list[tuple[np.ndarray, np.ndarray]]:
     """Run one batched Viterbi call over a list of windows; returns
-    (kinds, positions) per window in input order."""
+    (kinds, positions) per window in input order.  Emission coefficients are
+    gathered on device from the resident pore-model table, so only the rank
+    matrix is uploaded."""
     W = 8
     while W < len(windows):
         W *= 2
@@ -462,9 +479,7 @@ def _viterbi_windows(windows: list[_Window], models: PoreModelSet,
     N = n_state_pad
     obs = np.zeros((W, T), dtype=np.float32)
     n_obs = np.zeros(W, dtype=np.int32)
-    mu = np.zeros((W, N), dtype=np.float32)
-    inv_s = np.ones((W, N), dtype=np.float32)
-    lpc = np.full((W, N), -np.float32(np.inf), dtype=np.float32)
+    rk = np.full((W, N), -1, dtype=np.int32)
     n_states = np.ones(W, dtype=np.int32)
     epb = np.ones(W, dtype=np.float32)
     for i, w in enumerate(windows):
@@ -475,16 +490,11 @@ def _viterbi_windows(windows: list[_Window], models: PoreModelSet,
         n_states[i] = ns
         p = w.state.p
         ranks = np.where(p.kmer_ranks_ref < 0, 0, p.kmer_ranks_ref)
-        rr = ranks[w.ref_index : w.ref_index + ns]
-        mmu = models.pore_model[rr, 0]
-        msd = models.pore_model[rr, 1]
-        mu[i, :ns] = mmu
-        inv_s[i, :ns] = 1.0 / msd
-        lpc[i, :ns] = LOG_INV_SQRT_2PI - np.log(msd)
+        rk[i, :ns] = ranks[w.ref_index : w.ref_index + ns]
         epb[i] = p.events_per_base
-    pk, pp, pl, _score = vit.viterbi_jit(
-        jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(mu),
-        jnp.asarray(inv_s), jnp.asarray(lpc), jnp.asarray(n_states),
+    pk, pp, pl, _score = vit.viterbi_from_ranks_jit(
+        jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(rk),
+        _device_model_table(models), jnp.asarray(n_states),
         jnp.asarray(epb), hmm_probs)
     pk = np.asarray(pk); pp = np.asarray(pp); pl = np.asarray(pl)
     L = pk.shape[1]
