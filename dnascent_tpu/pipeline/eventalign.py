@@ -530,7 +530,9 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
             continue
         states.append(_build_state(p, models, cfg))
 
-    t_buckets = (64, 128, 256, 512, 1024)
+    # two observation buckets only: every distinct (W, T) shape costs a
+    # kernel compile (minutes through remote-compile tunnels)
+    t_buckets = (256, 1024)
     t_cap = t_buckets[-1]
 
     def get_calls(w):
