@@ -122,7 +122,15 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
         from ..ops.banded_pallas import banded_fill_pallas_jit
         return banded_fill_pallas_jit
 
+    # cap the fill batch: the Pallas kernel unrolls per-row bookkeeping, so
+    # compile size (and remote-compile time) grows with B
+    MAX_FILL_B = 16
+    split_groups = []
     for (E, K), group in buckets.items():
+        for c in range(0, len(group), MAX_FILL_B):
+            split_groups.append(((E, K), group[c : c + MAX_FILL_B]))
+
+    for (E, K), group in split_groups:
         B = len(group)
         scaled = np.zeros((B, E), dtype=np.float32)
         mu = np.zeros((B, K), dtype=np.float32)
