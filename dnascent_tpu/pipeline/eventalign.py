@@ -474,24 +474,33 @@ def _viterbi_windows(windows: list[_Window], models: PoreModelSet,
     W = 8
     while W < len(windows):
         W *= 2
-    T = max(w.obs_scaled.shape[0] for w in windows)
-    T = next(b for b in t_buckets if b >= T)
+    n = len(windows)
+    obs_list = [w.obs_scaled for w in windows]
+    lens = np.fromiter((o.shape[0] for o in obs_list), np.int64, n)
+    T = next(b for b in t_buckets if b >= int(lens.max()))
     N = n_state_pad
+    # scatter-fill the padded batch in a few vectorised ops (a python loop
+    # here costs more than the device call for thousands of windows)
     obs = np.zeros((W, T), dtype=np.float32)
+    rows = np.repeat(np.arange(n), lens)
+    obs[rows, _ranges(lens)] = np.concatenate(obs_list)
     n_obs = np.zeros(W, dtype=np.int32)
+    n_obs[:n] = lens
+    ns_arr = np.fromiter((w.window_length - cfg.kmer_len + 1
+                          for w in windows), np.int64, n)
     rk = np.full((W, N), -1, dtype=np.int32)
+    rank_slices = []
+    for w, ns in zip(windows, ns_arr):
+        r = w.state.p.kmer_ranks_ref[w.ref_index : w.ref_index + ns]
+        rank_slices.append(r)
+    rrows = np.repeat(np.arange(n), ns_arr)
+    rvals = np.concatenate(rank_slices)
+    rk[rrows, _ranges(ns_arr)] = np.where(rvals < 0, 0, rvals)
     n_states = np.ones(W, dtype=np.int32)
+    n_states[:n] = ns_arr
     epb = np.ones(W, dtype=np.float32)
-    for i, w in enumerate(windows):
-        t = w.obs_scaled.shape[0]
-        obs[i, :t] = w.obs_scaled
-        n_obs[i] = t
-        ns = w.window_length - cfg.kmer_len + 1
-        n_states[i] = ns
-        p = w.state.p
-        ranks = np.where(p.kmer_ranks_ref < 0, 0, p.kmer_ranks_ref)
-        rk[i, :ns] = ranks[w.ref_index : w.ref_index + ns]
-        epb[i] = p.events_per_base
+    epb[:n] = np.fromiter((w.state.p.events_per_base for w in windows),
+                          np.float64, n)
     pk, pp, pl, _score = vit.viterbi_from_ranks_jit(
         jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(rk),
         _device_model_table(models), jnp.asarray(n_states),
