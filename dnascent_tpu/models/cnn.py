@@ -76,6 +76,8 @@ class DetectCNN(nn.Module):
         float (f16 accepted for cheap host->device transfer).
         Returns (B, L, 3) float32 class probabilities."""
         signal = signal.astype(jnp.float32)
+        core_idx = core_idx.astype(jnp.int32)
+        residual_idx = residual_idx.astype(jnp.int32)
         mask = (signal != 0.0)
         nvalid = jnp.maximum(mask.sum(-1, keepdims=True), 1)
         mean = jnp.sum(signal * mask, -1, keepdims=True) / nvalid

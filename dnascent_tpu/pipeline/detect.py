@@ -80,8 +80,8 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
         for i in range(0, len(group), bs):
             chunk = group[i : i + bs]
             B = len(chunk)
-            core = np.zeros((B, L), dtype=np.int32)
-            resid = np.zeros((B, L), dtype=np.int32)
+            core = np.zeros((B, L), dtype=np.int16)
+            resid = np.zeros((B, L), dtype=np.int16)
             # f16 transfer: halves host->device bytes; the model upcasts
             sig = np.zeros((B, L, cnn_mod.RAWDEPTH), dtype=np.float16)
             for b, (p, pos) in enumerate(chunk):

@@ -126,3 +126,19 @@ def test_batched_window_processing_matches_per_window(models, prepped):
         np.testing.assert_array_equal(a.n_signals, b.n_signals)
         np.testing.assert_array_equal(a.center_is_T, b.center_is_T)
         np.testing.assert_allclose(a.signal, b.signal, rtol=1e-6)
+
+
+def test_strict_mode_runs_and_agrees_broadly(models, prepped):
+    """Strict (reference-sequential) mode: sanity + broad agreement with
+    fast mode (identical except near window boundaries)."""
+    fast = run_eventalign(prepped, models, DNA_R10)
+    strict = run_eventalign(prepped, models, DNA_R10, strict=True)
+    for rid, rf in fast.items():
+        rs = strict[rid]
+        assert rs.qc_passed == rf.qc_passed
+        if not rf.qc_passed:
+            continue
+        a, b = rf.positions, rs.positions
+        # both modes should cover nearly the same reference positions
+        inter = np.intersect1d(a.coord, b.coord)
+        assert inter.shape[0] > 0.95 * min(a.coord.shape[0], b.coord.shape[0])
