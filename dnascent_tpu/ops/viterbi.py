@@ -45,7 +45,7 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
                            events_per_base: jnp.ndarray,  # (W,) f32 (per read)
                            hmm_probs: tuple[float, float, float, float, float, float],
                            ):
-    """Returns (path_kind (W, L) uint8, path_pos (W, L) int16, path_len (W,),
+    """Returns (path_kind (W, L) uint8, path_pos (W, L) int8, path_len (W,),
     score (W,)) with L = T + N + 2.  Paths are in forward order occupying the
     LAST path_len entries of each row (leading entries are KIND_PAD)."""
     W, T = obs.shape
@@ -150,7 +150,7 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
     def bt_step(carry, _):
         cur_kind, cur_pos, cur_col, done = carry
         out_kind = jnp.where(done, jnp.uint8(KIND_PAD), cur_kind.astype(jnp.uint8))
-        out_pos = cur_pos.astype(jnp.int16)
+        out_pos = cur_pos.astype(jnp.int8)
         # fetch code at (col-1, w, pos): codes are indexed by emission t =
         # col-1; the initial column (col==0) has fixed pointers
         t_idx = jnp.clip(cur_col - 1, 0, T - 1)

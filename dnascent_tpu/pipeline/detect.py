@@ -82,13 +82,13 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
             B = len(chunk)
             core = np.zeros((B, L), dtype=np.int16)
             resid = np.zeros((B, L), dtype=np.int16)
-            # f16 transfer: halves host->device bytes; the model upcasts
-            sig = np.zeros((B, L, cnn_mod.RAWDEPTH), dtype=np.float16)
+            # u8 transfer: quarter of f32 bytes; the model dequantises
+            sig = np.zeros((B, L, cnn_mod.RAWDEPTH), dtype=np.uint8)
             for b, (p, pos) in enumerate(chunk):
                 n = pos.coord.shape[0]
                 core[b, :n] = pos.core_idx
                 resid[b, :n] = pos.residual_idx
-                sig[b, :n] = pos.signal
+                sig[b, :n] = cnn_mod.quantise_signal_u8(pos.signal)
             probs = cnn_mod.apply_model(model, params, jnp.asarray(core),
                                         jnp.asarray(resid), jnp.asarray(sig))
             probs = np.asarray(probs)
