@@ -84,6 +84,10 @@ def _detect_parser(prog, min_l_default):
     p.add_argument("--resume", action="store_true",
                    help="skip reads already present in the output file "
                    "(dnascent-tpu extension: restartable runs)")
+    p.add_argument("--strict-windows", action="store_true",
+                   help="reproduce the reference's sequential window "
+                   "coupling (slower; default is the batched independent-"
+                   "window mode)")
     return p
 
 
@@ -163,8 +167,9 @@ def main_detect(argv):
                     w.write_header(detect_header(a.bam, a.reference, a.index,
                                                  a.threads, a.quality,
                                                  a.length))
-                for _rid, d in detect_reads(src, models, model, params, cfg,
-                                            stats=stats):
+                for _rid, d in detect_reads(
+                        src, models, model, params, cfg, stats=stats,
+                        strict_windows=a.strict_windows):
                     w.write(d)
         else:
             from .io.bam import BamReader
@@ -174,8 +179,9 @@ def main_detect(argv):
                               hdr_reader.ref_names,
                               hdr_reader.ref_lengths) as w:
                 hdr_reader.close()
-                for _rid, d in detect_reads(src, models, model, params, cfg,
-                                            stats=stats):
+                for _rid, d in detect_reads(
+                        src, models, model, params, cfg, stats=stats,
+                        strict_windows=a.strict_windows):
                     w.write(d)
     log = os.path.splitext(a.output)[0] + ".detect.log"
     with open(log, "w") as fh:

@@ -129,7 +129,7 @@ def collect_calls(rec: ReadRecord, pos: AlignedPositions,
 def detect_reads(records: Iterable[ReadRecord], models: PoreModelSet,
                  model=None, params=None, cfg: SubstrateConfig = DNA_R10,
                  batch_size: int = 32, stats: Optional[DetectStats] = None,
-                 collect_failures: bool = False):
+                 collect_failures: bool = False, strict_windows: bool = False):
     """Generator over DetectedRead results, processing in read batches."""
     if model is None:
         model = cnn_mod.create_model()
@@ -139,7 +139,8 @@ def detect_reads(records: Iterable[ReadRecord], models: PoreModelSet,
 
     def flush(batch):
         prepped = prepare_reads(batch, models, cfg)
-        results = run_eventalign(prepped, models, cfg, collect_text=False)
+        results = run_eventalign(prepped, models, cfg, collect_text=False,
+                                 strict=strict_windows)
         probs_by_read = run_cnn_batched(model, params, results, prepped)
         for p in prepped:
             rid = p.record.read_id

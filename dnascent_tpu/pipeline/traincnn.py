@@ -145,8 +145,15 @@ def make_train_step(model, optimizer):
 
 def train_detect_cnn(batches: Iterator[TrainBatch], model=None, params=None,
                      learning_rate: float = 3e-4, epochs: int = 1,
-                     log_every: int = 50, callback=None):
-    """Fit DetectCNN; returns (params, losses)."""
+                     log_every: int = 50, callback=None,
+                     checkpoint_path: str = None,
+                     checkpoint_every: int = 500):
+    """Fit DetectCNN; returns (params, losses).
+
+    ``checkpoint_path`` enables periodic npz checkpoints (resume by loading
+    them with models.cnn.load_params and passing as ``params``) — training
+    checkpoint/restart is a new capability over the reference, whose only
+    model artifact is the final SavedModel (SURVEY §5)."""
     if model is None:
         model = cnn_mod.create_model()
     if params is None:
@@ -155,6 +162,7 @@ def train_detect_cnn(batches: Iterator[TrainBatch], model=None, params=None,
     opt_state = optimizer.init(params)
     step = make_train_step(model, optimizer)
     losses = []
+    global_step = 0
     batch_list = list(batches)
     for _ in range(epochs):
         for i, b in enumerate(batch_list):
@@ -167,6 +175,12 @@ def train_detect_cnn(batches: Iterator[TrainBatch], model=None, params=None,
             }
             params, opt_state, loss = step(params, opt_state, batch)
             losses.append(float(loss))
+            global_step += 1
             if callback and i % log_every == 0:
                 callback(i, float(loss))
+            if (checkpoint_path is not None
+                    and global_step % checkpoint_every == 0):
+                cnn_mod.save_params(params, checkpoint_path)
+    if checkpoint_path is not None:
+        cnn_mod.save_params(params, checkpoint_path)
     return params, losses
