@@ -45,9 +45,12 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
                            events_per_base: jnp.ndarray,  # (W,) f32 (per read)
                            hmm_probs: tuple[float, float, float, float, float, float],
                            ):
-    """Returns (path_kind (W, L) uint8, path_pos (W, L) int8, path_len (W,),
-    score (W,)) with L = T + N + 2.  Paths are in forward order occupying the
-    LAST path_len entries of each row (leading entries are KIND_PAD)."""
+    """Returns (path_code (W, L) uint8, path_len (W,), score (W,)) with
+    L = T + N + 2.  Each byte is ``kind | (pos_delta << 2)`` where pos_delta
+    is the backward position decrement of the step — one byte per step
+    instead of (kind, pos) pairs; decode with ``decode_path``.  Paths are in
+    forward order occupying the LAST path_len entries of each row (leading
+    entries are KIND_PAD)."""
     W, T = obs.shape
     N = mu.shape[1]
     eD2D_f, eD2M_f, eI2M_f, eM2D_f, iM2I_f, iI2I_f = hmm_probs
@@ -149,8 +152,6 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
 
     def bt_step(carry, _):
         cur_kind, cur_pos, cur_col, done = carry
-        out_kind = jnp.where(done, jnp.uint8(KIND_PAD), cur_kind.astype(jnp.uint8))
-        out_pos = cur_pos.astype(jnp.int8)
         # fetch code at (col-1, w, pos): codes are indexed by emission t =
         # col-1; the initial column (col==0) has fixed pointers
         t_idx = jnp.clip(cur_col - 1, 0, T - 1)
@@ -191,19 +192,22 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
         ncol = jnp.where(is_D, nc_D, jnp.where(is_M, nc_M, nc_I))
         fin = jnp.where(is_D, fin_D, jnp.where(is_M, fin_M, fin_I))
 
+        delta = jnp.clip(cur_pos - npos, 0, 1)
+        out_code = jnp.where(
+            done, jnp.uint8(KIND_PAD),
+            (cur_kind | (delta << 2)).astype(jnp.uint8))
         new_done = done | fin
         cur_kind = jnp.where(done, cur_kind, nk)
         cur_pos = jnp.where(done, cur_pos, npos)
         cur_col = jnp.where(done, cur_col, ncol)
-        return (cur_kind, cur_pos, cur_col, new_done), (out_kind, out_pos)
+        return (cur_kind, cur_pos, cur_col, new_done), out_code
 
-    (_, _, _, done), (rk, rp) = jax.lax.scan(
+    (_, _, _, done), rc = jax.lax.scan(
         bt_step, (cur_kind, cur_pos, cur_col, done), None, length=L)
-    # rk/rp: (L, W) in reverse order; flip to forward order and compact later
-    path_kind = rk[::-1].T                               # (W, L)
-    path_pos = rp[::-1].T
-    path_len = jnp.sum(path_kind != KIND_PAD, axis=1).astype(jnp.int32)
-    return path_kind, path_pos, path_len, score
+    # rc: (L, W) in reverse order; flip to forward order
+    path_code = rc[::-1].T                               # (W, L)
+    path_len = jnp.sum((path_code & 3) != KIND_PAD, axis=1).astype(jnp.int32)
+    return path_code, path_len, score
 
 
 @functools.partial(jax.jit, static_argnames=("hmm_probs",))
@@ -226,3 +230,16 @@ def viterbi_from_ranks_jit(obs, n_obs, ranks, model_table, n_states,
     lp_const = jnp.where(ranks < 0, NEG, lp_const)
     return viterbi_fill_backtrace(obs, n_obs, mu, inv_sigma, lp_const,
                                   n_states, events_per_base, hmm_probs)
+
+
+def decode_path(codes: np.ndarray, n_states: int):
+    """Host decode of one forward-order code array -> (kinds, positions).
+
+    pos[last] anchors at n_states-1; pos[t] = n_states-1 - sum of deltas
+    after t."""
+    kinds = (codes & 3).astype(np.uint8)
+    deltas = ((codes >> 2) & 1).astype(np.int64)
+    csum = np.cumsum(deltas)
+    total = csum[-1] if csum.shape[0] else 0
+    poss = (n_states - 1) - (total - csum)
+    return kinds, poss

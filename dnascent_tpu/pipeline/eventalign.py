@@ -218,12 +218,14 @@ def _build_all_windows(st: _ReadState, cfg: SubstrateConfig,
     return out
 
 
-def _process_window(w: _Window, path_kind: np.ndarray, path_pos: np.ndarray,
+def _process_window(w: _Window, path_code: np.ndarray, n_states_w: int,
                     cfg: SubstrateConfig, collect_text: bool,
                     calls: Optional[dict] = None,
                     update_cursor: bool = True) -> None:
     """Apply one window's Viterbi path (alignment.cpp:654-740): accumulate
     aligned positions (+ optional text) and advance the read cursors."""
+    path_kind, path_pos = vit.decode_path(path_code, n_states_w)
+    path_pos = path_pos.astype(np.int64)
     st = w.state
     p = st.p
     k = cfg.kmer_len
@@ -371,9 +373,19 @@ def _process_read_windows_batched(st: _ReadState, windows: list[_Window],
     k = cfg.kmer_len
     if not windows:
         return
-    kinds = np.concatenate([pk for pk, _ in paths])
-    poss = np.concatenate([pp for _, pp in paths]).astype(np.int64)
-    steps_per = np.array([pk.shape[0] for pk, _ in paths])
+    codes = np.concatenate([pc for pc, _ in paths])
+    kinds = (codes & 3).astype(np.uint8)
+    # positions: per-window suffix-anchored delta sums, vectorised globally
+    steps_per = np.array([pc.shape[0] for pc, _ in paths])
+    ns_per = np.array([ns for _, ns in paths], dtype=np.int64)
+    deltas = ((codes >> 2) & 1).astype(np.int64)
+    csum = np.cumsum(deltas)
+    ends = np.cumsum(steps_per) - 1
+    total_w = csum[ends] - np.concatenate([[0], csum[ends[:-1]]])
+    local_csum = csum - np.repeat(np.concatenate([[0], csum[ends[:-1]]]),
+                                  steps_per)
+    poss = (np.repeat(ns_per - 1, steps_per)
+            - (np.repeat(total_w, steps_per) - local_csum))
     win_id = np.repeat(np.arange(len(windows)), steps_per)
     step_off = np.concatenate([[0], np.cumsum(steps_per)[:-1]])
 
@@ -481,7 +493,8 @@ def _viterbi_windows(windows: list[_Window], models: PoreModelSet,
     N = n_state_pad
     # scatter-fill the padded batch in a few vectorised ops (a python loop
     # here costs more than the device call for thousands of windows)
-    obs = np.zeros((W, T), dtype=np.float32)
+    # f16 halves the largest upload; the kernel computes in f32
+    obs = np.zeros((W, T), dtype=np.float16)
     rows = np.repeat(np.arange(n), lens)
     obs[rows, _ranges(lens)] = np.concatenate(obs_list)
     n_obs = np.zeros(W, dtype=np.int32)
@@ -501,13 +514,13 @@ def _viterbi_windows(windows: list[_Window], models: PoreModelSet,
     epb = np.ones(W, dtype=np.float32)
     epb[:n] = np.fromiter((w.state.p.events_per_base for w in windows),
                           np.float64, n)
-    pk, pp, pl, _score = vit.viterbi_from_ranks_jit(
+    pc, pl, _score = vit.viterbi_from_ranks_jit(
         jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(rk),
         _device_model_table(models), jnp.asarray(n_states),
         jnp.asarray(epb), hmm_probs)
-    pk = np.asarray(pk); pp = np.asarray(pp); pl = np.asarray(pl)
-    L = pk.shape[1]
-    return [(pk[i, L - pl[i]:], pp[i, L - pl[i]:].astype(np.int64))
+    pc = np.asarray(pc); pl = np.asarray(pl)
+    L = pc.shape[1]
+    return [(pc[i, L - pl[i]:], int(ns_arr[i]))
             for i in range(len(windows))]
 
 
@@ -561,10 +574,10 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                     still.append(st)
             if not windows:
                 break
-            for w, (kinds, poss) in zip(
+            for w, (codes, ns_w) in zip(
                     windows, _viterbi_windows(windows, models, cfg, hmm_probs,
                                               n_state_pad, t_buckets)):
-                _process_window(w, kinds, poss, cfg, collect_text,
+                _process_window(w, codes, ns_w, cfg, collect_text,
                                 get_calls(w))
             active = [s for s in still if not s.exhausted]
     else:
@@ -592,13 +605,11 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
             wins = all_windows[w0:w1]
             if simple:
                 _process_read_windows_batched(
-                    st, wins,
-                    [(results[i][0], results[i][1].astype(np.int64))
-                     for i in range(w0, w1)], cfg)
+                    st, wins, [results[i] for i in range(w0, w1)], cfg)
             else:
                 for i, w in zip(range(w0, w1), wins):
-                    kinds, poss = results[i]
-                    _process_window(w, kinds, poss.astype(np.int64), cfg,
+                    codes, ns_w = results[i]
+                    _process_window(w, codes, ns_w, cfg,
                                     collect_text, get_calls(w),
                                     update_cursor=False)
 

@@ -39,11 +39,11 @@ def _run_batch(models, windows, N, T, epb=2.0):
         inv_s[w, : len(ranks)] = 1.0 / s
         lpc[w, : len(ranks)] = LOG_INV_SQRT_2PI - np.log(s)
         n_states[w] = len(ranks)
-    pk, pp, pl, score = viterbi.viterbi_jit(
+    pc, pl, score = viterbi.viterbi_jit(
         jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(mu),
         jnp.asarray(inv_s), jnp.asarray(lpc), jnp.asarray(n_states),
         jnp.full((W,), epb, dtype=np.float32), HMM_PROBS)
-    return (np.asarray(pk), np.asarray(pp), np.asarray(pl), np.asarray(score))
+    return (np.asarray(pc), np.asarray(pl), np.asarray(score), n_states)
 
 
 def test_viterbi_kernel_matches_oracle(models, rng):
@@ -51,13 +51,13 @@ def test_viterbi_kernel_matches_oracle(models, rng):
                for ns, m in [(42, 2), (42, 3), (20, 1), (55, 2), (7, 2)]]
     N = 64
     T = max(len(o) for _, o in windows)
-    pk, pp, pl, score = _run_batch(models, windows, N, T)
+    pc, pl, score, ns = _run_batch(models, windows, N, T)
     for w, (ranks, obs) in enumerate(windows):
         want = ref.builtin_viterbi(obs, ranks, models.pore_model, 0.0, 1.0,
                                    events_per_base=2.0)
-        L = pk.shape[1]
-        got_kind = pk[w, L - pl[w]:]
-        got_pos = pp[w, L - pl[w]:]
+        L = pc.shape[1]
+        got_kind, got_pos = viterbi.decode_path(pc[w, L - pl[w]:],
+                                                int(ns[w]))
         # oracle path kinds: 0=D,1=M,2=I — same encoding
         assert pl[w] == want.path.shape[0], (w, pl[w], want.path.shape)
         np.testing.assert_array_equal(got_kind, want.path[:, 0])
@@ -80,14 +80,15 @@ def test_viterbi_kernel_matches_oracle_noisy(models, rng):
         windows.append((ranks, obs))
     N = 64
     T = max(len(o) for _, o in windows)
-    pk, pp, pl, score = _run_batch(models, windows, N, T)
+    pc, pl, score, ns = _run_batch(models, windows, N, T)
     mismatches = 0
     total = 0
     for w, (ranks, obs) in enumerate(windows):
         want = ref.builtin_viterbi(obs, ranks, models.pore_model, 0.0, 1.0,
                                    events_per_base=2.0)
-        L = pk.shape[1]
-        got = np.stack([pk[w, L - pl[w]:], pp[w, L - pl[w]:]], axis=1)
+        L = pc.shape[1]
+        gk, gp = viterbi.decode_path(pc[w, L - pl[w]:], int(ns[w]))
+        got = np.stack([gk.astype(np.int64), gp], axis=1)
         total += 1
         if got.shape != want.path.shape or not (got == want.path).all():
             mismatches += 1
