@@ -157,10 +157,31 @@ def detect_reads(records: Iterable[ReadRecord], models: PoreModelSet,
                 stats.processed += 1
             yield rid, collect_calls(p.record, res.positions, probs_by_read[rid])
 
-    for rec in records:
-        batch.append(rec)
-        if len(batch) >= batch_size:
-            yield from flush(batch)
-            batch = []
-    if batch:
+    # prefetch the next record batch (signal IO / pod5 decompress) on a
+    # thread while the current batch runs on device
+    import threading
+    import queue
+
+    q: "queue.Queue" = queue.Queue(maxsize=1)
+
+    def producer():
+        cur: list[ReadRecord] = []
+        try:
+            for rec in records:
+                cur.append(rec)
+                if len(cur) >= batch_size:
+                    q.put(cur)
+                    cur = []
+            if cur:
+                q.put(cur)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        batch = q.get()
+        if batch is None:
+            break
         yield from flush(batch)
+    t.join()
