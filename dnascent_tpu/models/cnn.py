@@ -143,6 +143,15 @@ def apply_model(model: DetectCNN, params, core_idx, residual_idx, signal):
     return model.apply(params, core_idx, residual_idx, signal)
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def apply_model_f16(model: DetectCNN, params, core_idx, residual_idx, signal):
+    """f16 output transfer: halves the probability download (quantised to
+    uint8 for modbam anyway; human-readable prints are model outputs, not
+    reference-parity values)."""
+    return model.apply(params, core_idx, residual_idx,
+                       signal).astype(jnp.float16)
+
+
 # ---------------------------------------------------------------------------
 # Parameter persistence (npz; orbax used for training checkpoints elsewhere)
 # ---------------------------------------------------------------------------

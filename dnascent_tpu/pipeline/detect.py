@@ -53,10 +53,11 @@ class DetectStats:
 
 
 def _bucket_len(n: int) -> int:
-    b = 256
-    while b < n:
-        b *= 2
-    return b
+    """Pad position counts to multiples of 2048 (powers of two waste up to
+    half the padded transfer at long read lengths)."""
+    if n <= 256:
+        return 256
+    return ((n + 2047) // 2048) * 2048
 
 
 def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
@@ -89,9 +90,10 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
                 core[b, :n] = pos.core_idx
                 resid[b, :n] = pos.residual_idx
                 sig[b, :n] = cnn_mod.quantise_signal_u8(pos.signal)
-            probs = cnn_mod.apply_model(model, params, jnp.asarray(core),
-                                        jnp.asarray(resid), jnp.asarray(sig))
-            probs = np.asarray(probs)
+            probs = cnn_mod.apply_model_f16(model, params, jnp.asarray(core),
+                                            jnp.asarray(resid),
+                                            jnp.asarray(sig))
+            probs = np.asarray(probs).astype(np.float32)
             for b, (p, pos) in enumerate(chunk):
                 out[p.record.read_id] = probs[b, : pos.coord.shape[0]]
     return out
