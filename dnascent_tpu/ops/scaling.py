@@ -118,6 +118,36 @@ def theilsen_refine(cleaned_signals: jnp.ndarray,  # (B, P) f32, zero-padded
     return new_shift, new_scale
 
 
+@functools.partial(jax.jit, static_argnames=("n_quantiles",))
+def quantile_scaling_device(event_means: jnp.ndarray,   # (B, E) f32, +inf pad
+                            n_events: jnp.ndarray,      # (B,) i32
+                            model_means: jnp.ndarray,   # (B, K) f32, +inf pad
+                            n_kmers: jnp.ndarray,       # (B,) i32
+                            n_quantiles: int = 10):
+    """Batched device quantile regression (event_handling.cpp:451-541):
+    sort both vectors, take the reference's quantile medians, least-squares
+    fit model->signal.  Pads must be +inf so they sort to the tail.
+    Returns (shift, scale) per row."""
+    i = jnp.arange(n_quantiles)
+
+    def qmed(sorted_vals, n):
+        step = (n // n_quantiles)[:, None]
+        idx = (i[None, :] * step * 2 + step) // 2
+        idx = jnp.clip(idx, 0, sorted_vals.shape[1] - 1)
+        return jnp.take_along_axis(sorted_vals, idx, axis=1)
+
+    sq = qmed(jnp.sort(event_means, axis=1), n_events)
+    mq = qmed(jnp.sort(model_means, axis=1), n_kmers)
+    n = jnp.float32(n_quantiles)
+    sum_x = mq.sum(axis=1)
+    sum_x2 = (mq * mq).sum(axis=1)
+    sum_y = sq.sum(axis=1)
+    sum_xy = (mq * sq).sum(axis=1)
+    slope = (n * sum_xy - sum_x * sum_y) / (n * sum_x2 - sum_x * sum_x)
+    intercept = (sum_y - slope * sum_x) / n
+    return intercept, slope  # shift, scale
+
+
 def quantile_scaling_batch(event_means: np.ndarray, n_events: np.ndarray,
                            model_means: np.ndarray, n_kmers: np.ndarray,
                            n_quantiles: int = 10) -> tuple[np.ndarray, np.ndarray]:

@@ -51,3 +51,24 @@ def test_theilsen_device_matches_oracle(rng):
         assert abs(sc[b] - true_scale[b]) < 0.1
     # passthrough row
     assert ns[2] == shift[2] and sc[2] == scale[2]
+
+
+def test_quantile_scaling_device_matches_oracle(models, rng):
+    from dnascent_tpu.ops import scaling as sc
+    B, E, K = 3, 5000, 2000
+    ev = np.full((B, E), np.inf, np.float32)
+    mm = np.full((B, K), np.inf, np.float32)
+    ne = np.array([5000, 3200, 4100], np.int32)
+    nk = np.array([2000, 1500, 1800], np.int32)
+    expect = []
+    for b in range(B):
+        e = rng.normal(90, 15, ne[b])
+        m = rng.normal(0, 1, nk[b])
+        ev[b, : ne[b]] = e
+        mm[b, : nk[b]] = m
+        expect.append(ref.estimate_scaling_quantiles(e, m))
+    sh, scl = sc.quantile_scaling_device(
+        jnp.asarray(ev), jnp.asarray(ne), jnp.asarray(mm), jnp.asarray(nk))
+    for b in range(B):
+        assert abs(float(sh[b]) - expect[b][0]) < 1e-2, b
+        assert abs(float(scl[b]) - expect[b][1]) < 1e-3, b
