@@ -329,3 +329,22 @@ def banded_fill_pallas_jit(scaled_events, mu, inv_sigma, lp_const, n_events,
     return banded_fill_pallas(scaled_events, mu, inv_sigma, lp_const,
                               n_events, n_kmers, bandwidth, epsilon_skip,
                               p_trim)
+
+
+@functools.partial(jax.jit, static_argnames=("bandwidth", "epsilon_skip",
+                                             "p_trim"))
+def banded_fill_pallas_from_ranks_jit(scaled_events, ranks, model_table,
+                                      n_events, n_kmers, bandwidth=100,
+                                      epsilon_skip=1e-30, p_trim=0.01):
+    """Upload-lean variant: (B,K) i32 ranks + the resident pore table replace
+    the three f32 coefficient planes; scaled events may arrive f16."""
+    scaled_events = scaled_events.astype(jnp.float32)
+    safe = jnp.clip(ranks, 0, model_table.shape[0] - 1)
+    mu = model_table[safe, 0]
+    sigma = jnp.maximum(model_table[safe, 1], 1e-6)
+    inv_sigma = 1.0 / sigma
+    lp_const = jnp.float32(np.log(0.3989422804014327)) - jnp.log(sigma)
+    lp_const = jnp.where(ranks < 0, NEG, lp_const)
+    return banded_fill_pallas(scaled_events, mu, inv_sigma, lp_const,
+                              n_events, n_kmers, bandwidth, epsilon_skip,
+                              p_trim)

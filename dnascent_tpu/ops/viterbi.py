@@ -217,6 +217,35 @@ def viterbi_jit(obs, n_obs, mu, inv_sigma, lp_const, n_states, events_per_base,
                                   n_states, events_per_base, hmm_probs)
 
 
+@functools.partial(jax.jit, static_argnames=("hmm_probs", "n_state_pad"))
+def viterbi_from_flat_ranks_jit(obs, n_obs, starts, flat_ranks, model_table,
+                                n_states, events_per_base, hmm_probs,
+                                n_state_pad):
+    """Upload-lean variant: windows carry only a start offset into a flat
+    per-batch reference-rank array resident on device (uploaded once by
+    prep), so the per-call metadata is a few KB."""
+    N = n_state_pad
+    idx = starts[:, None] + jnp.arange(N, dtype=jnp.int32)[None, :]
+    r = flat_ranks[jnp.clip(idx, 0, flat_ranks.shape[0] - 1)]
+    in_range = jnp.arange(N, dtype=jnp.int32)[None, :] < n_states[:, None]
+    ranks = jnp.where(in_range, r, -1)
+    return viterbi_from_ranks_core(obs, n_obs, ranks, model_table, n_states,
+                                   events_per_base, hmm_probs)
+
+
+def viterbi_from_ranks_core(obs, n_obs, ranks, model_table, n_states,
+                            events_per_base, hmm_probs):
+    obs = obs.astype(jnp.float32)
+    safe = jnp.clip(ranks, 0, model_table.shape[0] - 1)
+    mu = model_table[safe, 0]
+    sigma = jnp.maximum(model_table[safe, 1], 1e-6)
+    inv_sigma = 1.0 / sigma
+    lp_const = jnp.float32(np.log(0.3989422804014327)) - jnp.log(sigma)
+    lp_const = jnp.where(ranks < 0, NEG, lp_const)
+    return viterbi_fill_backtrace(obs, n_obs, mu, inv_sigma, lp_const,
+                                  n_states, events_per_base, hmm_probs)
+
+
 @functools.partial(jax.jit, static_argnames=("hmm_probs",))
 def viterbi_from_ranks_jit(obs, n_obs, ranks, model_table, n_states,
                            events_per_base, hmm_probs):

@@ -514,10 +514,22 @@ def _viterbi_windows(windows: list[_Window], models: PoreModelSet,
     epb = np.ones(W, dtype=np.float32)
     epb[:n] = np.fromiter((w.state.p.events_per_base for w in windows),
                           np.float64, n)
-    pc, pl, _score = vit.viterbi_from_ranks_jit(
-        jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(rk),
-        _device_model_table(models), jnp.asarray(n_states),
-        jnp.asarray(epb), hmm_probs)
+    flat = windows[0].state.p.flat_ranks_device
+    if flat is not None and all(w.state.p.flat_ranks_device is flat
+                                for w in windows):
+        starts = np.zeros(W, dtype=np.int32)
+        starts[:n] = np.fromiter(
+            (w.state.p.flat_ranks_offset + w.ref_index for w in windows),
+            np.int64, n)
+        pc, pl, _score = vit.viterbi_from_flat_ranks_jit(
+            jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(starts), flat,
+            _device_model_table(models), jnp.asarray(n_states),
+            jnp.asarray(epb), hmm_probs, N)
+    else:
+        pc, pl, _score = vit.viterbi_from_ranks_jit(
+            jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(rk),
+            _device_model_table(models), jnp.asarray(n_states),
+            jnp.asarray(epb), hmm_probs)
     pc = np.asarray(pc); pl = np.asarray(pl)
     L = pc.shape[1]
     return [(pc[i, L - pl[i]:], int(ns_arr[i]))

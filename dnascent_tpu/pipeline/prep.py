@@ -40,6 +40,10 @@ class PreparedRead:
     event_alignment: np.ndarray = field(
         default_factory=lambda: np.empty((0, 2), dtype=np.int64))
     qc_fail_reason: Optional[str] = None
+    # device-resident flat reference-rank array shared across the prep batch
+    # (uploaded once; eventalign windows index into it by offset)
+    flat_ranks_device: object = None
+    flat_ranks_offset: int = 0
 
     @property
     def passed(self) -> bool:
@@ -130,27 +134,40 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
         for c in range(0, len(group), MAX_FILL_B):
             split_groups.append(((E, K), group[c : c + MAX_FILL_B]))
 
+    from .eventalign import _device_model_table
+
     for (E, K), group in split_groups:
         B = len(group)
         scaled = np.zeros((B, E), dtype=np.float32)
-        mu = np.zeros((B, K), dtype=np.float32)
-        inv_s = np.ones((B, K), dtype=np.float32)
-        lpc = np.full((B, K), -np.float32(np.inf), dtype=np.float32)
+        ranks = np.full((B, K), -1, dtype=np.int32)
         n_ev = np.zeros(B, dtype=np.int32)
         n_km = np.zeros(B, dtype=np.int32)
         for b, p in enumerate(group):
             ne, nk = p.n_events, p.n_kmers
             scaled[b, :ne] = (p.event_mean - p.shift) / p.scale
-            m, i_, l_ = banded.prepare_emission_coefficients(
-                p.kmer_ranks_query[None, :], models.pore_model)
-            mu[b, :nk], inv_s[b, :nk], lpc[b, :nk] = m[0], i_[0], l_[0]
+            # N-containing kmers take the A-substituted rank like the
+            # reference's defaulting map (data_IO.cpp:131); -1 never occurs
+            # because kmer_ranks already encodes N-as-A via the safe path
+            ranks[b, :nk] = np.where(p.kmer_ranks_query < 0, 0,
+                                     p.kmer_ranks_query)
             n_ev[b], n_km[b] = ne, nk
-        fill = fill_backend(B, E, K)
-        tp, rp, best_e, _ = fill(
-            jnp.asarray(scaled), jnp.asarray(mu), jnp.asarray(inv_s),
-            jnp.asarray(lpc), jnp.asarray(n_ev), jnp.asarray(n_km),
-            bandwidth=bw, epsilon_skip=cfg.banded.epsilon_skip,
-            p_trim=cfg.banded.p_trim)
+        use_pallas = fill_backend(B, E, K) is not banded.banded_fill_jit
+        if use_pallas:
+            from ..ops.banded_pallas import banded_fill_pallas_from_ranks_jit
+            tp, rp, best_e, _ = banded_fill_pallas_from_ranks_jit(
+                jnp.asarray(scaled.astype(np.float16)), jnp.asarray(ranks),
+                _device_model_table(models), jnp.asarray(n_ev),
+                jnp.asarray(n_km), bandwidth=bw,
+                epsilon_skip=cfg.banded.epsilon_skip,
+                p_trim=cfg.banded.p_trim)
+        else:
+            mu0, inv0, lpc0 = banded.prepare_emission_coefficients(
+                ranks, models.pore_model)
+            tp, rp, best_e, _ = banded.banded_fill_jit(
+                jnp.asarray(scaled), jnp.asarray(mu0), jnp.asarray(inv0),
+                jnp.asarray(lpc0), jnp.asarray(n_ev), jnp.asarray(n_km),
+                bandwidth=bw, epsilon_skip=cfg.banded.epsilon_skip,
+                p_trim=cfg.banded.p_trim)
         use_device_bt = jax.default_backend() != "cpu"
         if use_device_bt:
             # on-device backtrace chase: only the packed 2-bit move streams
@@ -167,12 +184,14 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             q2r = np.full(p.n_kmers, -1, dtype=np.int64)
             q2r_src = p.record.query_to_ref[: p.n_kmers]
             q2r[: q2r_src.shape[0]] = q2r_src
+            mu_b, inv_b, lpc_b = banded.prepare_emission_coefficients(
+                p.kmer_ranks_query[None, :], models.pore_model)
             if use_device_bt:
                 pairs, cs, cr, avg_em, spanned, max_gap = \
                     banded.decode_moves_host(
                         packed, b, int(best_e[b]), nk, p.event_mean,
-                        scaled[b, :ne], mu[b, :nk], inv_s[b, :nk],
-                        lpc[b, :nk], q2r, p.kmer_ranks_ref)
+                        scaled[b, :ne], mu_b[0], inv_b[0],
+                        lpc_b[0], q2r, p.kmer_ranks_ref)
             else:
                 tr, rg = banded.unpack_trace(tp[:, b : b + 1],
                                              rp[:, b : b + 1], n_bands)
@@ -180,7 +199,7 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
                     native.banded_backtrace(
                         tr[:, 0, :], rg[:, 0].astype(np.uint8), n_bands, bw,
                         ne, nk, int(best_e[b]), p.event_mean, scaled[b, :ne],
-                        mu[b, :nk], inv_s[b, :nk], lpc[b, :nk], q2r,
+                        mu_b[0], inv_b[0], lpc_b[0], q2r,
                         p.kmer_ranks_ref)
             qc = (avg_em >= cfg.banded.min_average_log_emission and spanned
                   and max_gap <= cfg.banded.max_gap_threshold
@@ -222,4 +241,20 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             # eventsPerBase uses the raw event count and basecall length - k
             # (event_handling.cpp:606)
             p.events_per_base = p.et_n / max(1, len(p.record.basecall) - cfg.kmer_len)
+
+    # upload the batch's reference ranks once as one flat device array so
+    # eventalign window batches only ship start offsets
+    passed = [p for p in prepped if p.passed]
+    if passed and jax.default_backend() != "cpu":
+        chunks = []
+        off = 0
+        for p in passed:
+            safe = np.where(p.kmer_ranks_ref < 0, 0,
+                            p.kmer_ranks_ref).astype(np.int32)
+            p.flat_ranks_offset = off
+            chunks.append(safe)
+            off += safe.shape[0]
+        flat = jnp.asarray(np.concatenate(chunks))
+        for p in passed:
+            p.flat_ranks_device = flat
     return prepped

@@ -61,3 +61,34 @@ def test_pallas_matches_scan_kernel(models, rng, monkeypatch):
         mismatch = (tp_p[:s, b] != tp_s[:s, b]).mean()
         assert mismatch < 2e-3, f"row {b}: {mismatch}"
     np.testing.assert_array_equal(np.asarray(be_p), np.asarray(be_s))
+
+
+def test_pallas_from_ranks_matches_plain(models, rng):
+    """The upload-lean rank-gather wrapper must equal the coefficient-plane
+    kernel (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from dnascent_tpu.ops import banded_pallas
+
+    scaled, mu, ivs, lpc, n_ev, n_km = _inputs(models, rng, lens=(700, 900, 800))
+    # rebuild the rank matrix the pipeline would send
+    from dnascent_tpu.ops import reference as ref
+    from dnascent_tpu.testing.simulate import simulate_read
+    from dnascent_tpu.utils import seqtools
+    ranks = np.full((3, mu.shape[1]), -1, np.int32)
+    for i, ln in enumerate((700, 900, 800)):
+        sim = simulate_read(models.pore_model, DNA_R10, length=ln, seed=40 + i)
+        r = seqtools.kmer_ranks(sim.sequence, 9)
+        r = np.where(r < 0, 0, r)
+        ranks[i, : r.shape[0]] = r
+    table = jnp.asarray(models.pore_model)
+    with pltpu.force_tpu_interpret_mode():
+        a = banded_pallas.banded_fill_pallas(
+            jnp.asarray(scaled), jnp.asarray(mu), jnp.asarray(ivs),
+            jnp.asarray(lpc), jnp.asarray(n_ev), jnp.asarray(n_km))
+        b = banded_pallas.banded_fill_pallas_from_ranks_jit(
+            jnp.asarray(scaled), jnp.asarray(ranks), table,
+            jnp.asarray(n_ev), jnp.asarray(n_km))
+    # f32 input here, so coefficient paths should agree nearly everywhere
+    mismatch = (np.asarray(a[0]) != np.asarray(b[0])).mean()
+    assert mismatch < 2e-3, mismatch
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
