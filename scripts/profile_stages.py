@@ -104,16 +104,14 @@ for st in states:
 print(f"window build host ({len(wins)}):     {1000*(time.perf_counter()-t0):8.1f} ms")
 
 t0 = time.perf_counter()
-res = ea._viterbi_windows(wins, models, cfg, HMM_PROBS, 72,
-                          (64, 128, 256, 512, 1024))
+res = ea._viterbi_windows(wins, models, cfg, HMM_PROBS, 72, (256, 1024))
 print(f"viterbi batch (incl compile): {1000*(time.perf_counter()-t0):8.1f} ms")
 t0 = time.perf_counter()
-res = ea._viterbi_windows(wins, models, cfg, HMM_PROBS, 72,
-                          (64, 128, 256, 512, 1024))
+res = ea._viterbi_windows(wins, models, cfg, HMM_PROBS, 72, (256, 1024))
 print(f"viterbi batch (steady):       {1000*(time.perf_counter()-t0):8.1f} ms")
 
 t0 = time.perf_counter()
-for w, (kinds, poss) in zip(wins, res):
-    ea._process_window(w, kinds, poss.astype(np.int64), cfg, False, None,
+for w, (codes, ns_w) in zip(wins, res):
+    ea._process_window(w, codes, ns_w, cfg, False, None,
                        update_cursor=False)
 print(f"process windows host:         {1000*(time.perf_counter()-t0):8.1f} ms")
