@@ -478,7 +478,8 @@ def _device_model_table(models: PoreModelSet):
 
 def _viterbi_windows(windows: list[_Window], models: PoreModelSet,
                      cfg: SubstrateConfig, hmm_probs, n_state_pad: int,
-                     t_buckets) -> list[tuple[np.ndarray, np.ndarray]]:
+                     t_buckets,
+                     obs_dtype=np.float16) -> list[tuple[np.ndarray, np.ndarray]]:
     """Run one batched Viterbi call over a list of windows; returns
     (kinds, positions) per window in input order.  Emission coefficients are
     gathered on device from the resident pore-model table, so only the rank
@@ -493,8 +494,9 @@ def _viterbi_windows(windows: list[_Window], models: PoreModelSet,
     N = n_state_pad
     # scatter-fill the padded batch in a few vectorised ops (a python loop
     # here costs more than the device call for thousands of windows)
-    # f16 halves the largest upload; the kernel computes in f32
-    obs = np.zeros((W, T), dtype=np.float16)
+    # f16 halves the largest upload; the kernel computes in f32 (strict
+    # parity mode keeps f32 end to end)
+    obs = np.zeros((W, T), dtype=obs_dtype)
     rows = np.repeat(np.arange(n), lens)
     obs[rows, _ranges(lens)] = np.concatenate(obs_list)
     n_obs = np.zeros(W, dtype=np.int32)
@@ -588,7 +590,8 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                 break
             for w, (codes, ns_w) in zip(
                     windows, _viterbi_windows(windows, models, cfg, hmm_probs,
-                                              n_state_pad, t_buckets)):
+                                              n_state_pad, t_buckets,
+                                              obs_dtype=np.float32)):
                 _process_window(w, codes, ns_w, cfg, collect_text,
                                 get_calls(w))
             active = [s for s in still if not s.exhausted]
