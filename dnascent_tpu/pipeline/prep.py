@@ -74,15 +74,18 @@ def _bucket(value: int, step: int) -> int:
 
 def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
                   cfg: SubstrateConfig = DNA_R10,
-                  bucket_step_events: int = 2048,
-                  bucket_step_kmers: int = 1024) -> list[PreparedRead]:
+                  bucket_step_events: int = 4096,
+                  bucket_step_kmers: int = 4096) -> list[PreparedRead]:
     """Run events + quantile scaling + banded alignment + Theil-Sen for a
     batch of reads.  Failed reads carry ``qc_fail_reason`` and are kept (the
     caller counts them the way the reference's progress bar does)."""
     k = cfg.kmer_len
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        detected = list(ex.map(lambda r: _detect_and_merge(r.raw, cfg),
+                               records))
     prepped: list[PreparedRead] = []
-    for rec in records:
-        mean, rs, re_, et_n = _detect_and_merge(rec.raw, cfg)
+    for rec, (mean, rs, re_, et_n) in zip(records, detected):
         rq = kmer_ranks(rec.basecall, k)
         rr = kmer_ranks(rec.reference_seq, k)
         pr = PreparedRead(rec, mean, rs, re_, et_n, rq, rr)
@@ -136,6 +139,9 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
 
     from .eventalign import _device_model_table
 
+    # phase 1: dispatch every group's device work (jax queues transfers and
+    # kernels asynchronously, so groups overlap); phase 2 collects results
+    dispatched = []
     for (E, K), group in split_groups:
         B = len(group)
         scaled = np.zeros((B, E), dtype=np.float32)
@@ -172,8 +178,17 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
         if use_device_bt:
             # on-device backtrace chase: only the packed 2-bit move streams
             # cross the interconnect (~25x less than the trace matrices)
-            packed = np.asarray(banded.backtrace_moves_device(
-                tp, rp, jnp.asarray(best_e), jnp.asarray(n_km), bandwidth=bw))
+            packed_dev = banded.backtrace_moves_device(
+                tp, rp, jnp.asarray(best_e), jnp.asarray(n_km), bandwidth=bw)
+            dispatched.append((group, scaled, None, None, packed_dev, best_e,
+                               use_device_bt))
+        else:
+            dispatched.append((group, scaled, tp, rp, None, best_e,
+                               use_device_bt))
+
+    for group, scaled, tp, rp, packed_dev, best_e, use_device_bt in dispatched:
+        if use_device_bt:
+            packed = np.asarray(packed_dev)
             best_e = np.asarray(best_e)
         else:
             tp = np.asarray(tp); rp = np.asarray(rp)
