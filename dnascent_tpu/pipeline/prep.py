@@ -107,6 +107,20 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             p.event_mean, model_means, cfg.scaling)
 
     # --- banded alignment, bucketed ---
+
+    def _pad8(B):
+        return max(8, -(-B // 8) * 8)
+
+    def _pallas_fill_batch(E, K):
+        """Largest fill batch (multiple of 8, <=16) whose VMEM-resident
+        inputs (3 coefficient planes + events, all f32 after on-kernel
+        expansion, plus window scratch) fit the ~11 MB budget; 0 if even
+        the 8-row floor does not fit."""
+        for B in (16, 8):
+            if 4 * (3 * B * (K + 700) + B * (E + 700)) <= 11_000_000:
+                return B
+        return 0
+
     buckets: dict[tuple[int, int], list[PreparedRead]] = {}
     for p in live:
         key = (_bucket(p.n_events, bucket_step_events),
@@ -123,19 +137,24 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
         otherwise (and always on CPU, where Pallas would interpret)."""
         if jax.default_backend() == "cpu":
             return banded.banded_fill_jit
-        vmem_bytes = 4 * (3 * B * (K + 700) + B * (E + 700))
-        if vmem_bytes > 11_000_000:
+        if _pallas_fill_batch(E, K) < _pad8(B):
             return banded.banded_fill_jit
         from ..ops.banded_pallas import banded_fill_pallas_jit
         return banded_fill_pallas_jit
 
     # cap the fill batch: the Pallas kernel unrolls per-row bookkeeping, so
-    # compile size (and remote-compile time) grows with B
+    # compile size (and remote-compile time) grows with B.  For long reads
+    # the cap shrinks further (min 8, the sublane batch floor) so the bucket
+    # still fits the VMEM budget and takes the fast kernel — at B=8 that
+    # covers reads to ~85 kb before the XLA-scan fallback kicks in.
     MAX_FILL_B = 16
     split_groups = []
     for (E, K), group in buckets.items():
-        for c in range(0, len(group), MAX_FILL_B):
-            split_groups.append(((E, K), group[c : c + MAX_FILL_B]))
+        cap = MAX_FILL_B
+        if jax.default_backend() != "cpu":
+            cap = min(cap, _pallas_fill_batch(E, K)) or MAX_FILL_B
+        for c in range(0, len(group), cap):
+            split_groups.append(((E, K), group[c : c + cap]))
 
     from .eventalign import _device_model_table
 
