@@ -204,17 +204,94 @@ def _build_all_windows(st: _ReadState, cfg: SubstrateConfig,
     reference's cursor coupling.
     """
     k = cfg.kmer_len
-    ref_len = len(st.p.record.reference_seq)
-    out = []
-    ri = 0
-    while ri < ref_len - k + 1:
-        w, skip = _window_at(st, ri, cfg, t_cap, read_head=0)
-        if w is None:
-            ri += skip
-        else:
-            out.append(w)
-            ri += w.window_length - k + 1
+    p = st.p
+    ref_len = len(p.record.reference_seq)
+    n_kmer_max = ref_len - k + 1
     st.exhausted = True
+    if n_kmer_max <= 0:
+        return []
+    total_wl = cfg.window_length_align
+    r2q = p.record.ref_to_query
+    pairs = p.event_alignment
+    ev_mean = p.event_mean
+    dmin, dmax = cfg.detect.event_mean_min, cfg.detect.event_mean_max
+
+    # per-read tables so the window chain below runs in O(1) per step:
+    # undefined-base prefix sums (replaces defined[a:b].all()), breakpoint
+    # positions (replaces the per-window model-mean gap scan of
+    # alignment.cpp:578-593), and guard-passing prefix sums over the pair
+    # stream (replaces per-window mean-range filtering)
+    undef_cum = np.concatenate(([0], np.cumsum(~st.defined)))
+    m = st.mean_ref
+    gap = np.abs(np.diff(m))                       # gap[i] = |m[i]-m[i+1]|
+    bp = np.zeros(m.shape[0], dtype=bool)
+    if m.shape[0] >= 3:
+        bp[1:-1] = (gap[1:] > 0.75) & (gap[:-1] > 0.75)
+    bp_pos = np.flatnonzero(bp)
+    guard_ok = (ev_mean[pairs[:, 0]] > dmin) & (ev_mean[pairs[:, 0]] < dmax)
+    guard_cum = np.concatenate(([0], np.cumsum(guard_ok)))
+    pair_q = pairs[:, 1]
+
+    # the chain of window starts is inherently sequential (each advance
+    # depends on the previous window's length), but every step is now a
+    # couple of scalar lookups
+    metas: list[tuple[int, int, int, int]] = []
+    ri = 0
+    while ri < n_kmer_max:
+        bases_to_end = ref_len - ri
+        wl = min(bases_to_end, total_wl)
+        if bases_to_end > 1.5 * total_wl:
+            snip_len = int(1.5 * wl)
+            if undef_cum[ri + snip_len] - undef_cum[ri]:
+                ri += wl
+                continue
+            limit = int(1.5 * wl - k - 1)
+            bi = int(np.searchsorted(bp_pos, ri + wl))
+            if bi < bp_pos.shape[0] and bp_pos[bi] < ri + limit:
+                wl = int(bp_pos[bi]) - ri + k
+        if undef_cum[ri + wl] - undef_cum[ri]:
+            ri += wl
+            continue
+        lo = r2q[ri]
+        hi = r2q[ri + wl - k + 1]
+        j0 = int(np.searchsorted(pair_q, lo, side="left"))
+        j1 = int(np.searchsorted(pair_q, hi, side="left"))
+        if j1 <= j0 or guard_cum[j1] - guard_cum[j0] < 2:
+            ri += wl
+            continue
+        metas.append((ri, wl, j0, j1))
+        ri += wl - k + 1
+    if not metas:
+        return []
+
+    # one vectorised pass builds every window's event selection at once
+    starts = np.array([mt[2] for mt in metas])
+    ends = np.array([mt[3] for mt in metas])
+    lens = ends - starts
+    idx = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])),
+                    lens) + np.arange(int(lens.sum()))
+    ev_all = pairs[idx, 0]
+    means_all = ev_mean[ev_all]
+    guard_all = guard_ok[idx]
+    obs_all = ((means_all - p.shift) / p.scale).astype(np.float32)
+    bounds = np.cumsum(lens)[:-1]
+    ev_split = np.split(ev_all, bounds)
+    obs_split = np.split(obs_all, bounds)
+    guard_split = np.split(guard_all, bounds)
+
+    out = []
+    for (ri, wl, j0, j1), ev_w, obs_w, g_w in zip(
+            metas, ev_split, obs_split, guard_split):
+        ev_ids = ev_w[g_w][:t_cap]
+        obs = obs_w[g_w][:t_cap]
+        query_span = int(r2q[ri + wl - k + 1] - r2q[ri])
+        indel_score = query_span - (wl - k + 1)
+        if p.record.is_reverse:
+            ref_coord = p.record.ref_end - ri - k // 2
+        else:
+            ref_coord = p.record.ref_start + ri + k // 2
+        out.append(_Window(st, ri, wl, obs, ev_ids, j0,
+                           indel_score, ref_coord))
     return out
 
 
@@ -476,14 +553,15 @@ def _device_model_table(models: PoreModelSet):
     return t
 
 
-def _viterbi_windows(windows: list[_Window], models: PoreModelSet,
-                     cfg: SubstrateConfig, hmm_probs, n_state_pad: int,
-                     t_buckets,
-                     obs_dtype=np.float16) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Run one batched Viterbi call over a list of windows; returns
-    (kinds, positions) per window in input order.  Emission coefficients are
-    gathered on device from the resident pore-model table, so only the rank
-    matrix is uploaded."""
+def _viterbi_windows_dispatch(windows: list[_Window], models: PoreModelSet,
+                              cfg: SubstrateConfig, hmm_probs,
+                              n_state_pad: int, t_buckets,
+                              obs_dtype=np.float16):
+    """Build and enqueue one batched Viterbi call; returns an opaque handle
+    for :func:`_viterbi_windows_collect`.  Splitting dispatch from collection
+    lets callers queue several chunks on the device before blocking on any
+    download.  Emission coefficients are gathered on device from the
+    resident pore-model table, so only the rank matrix is uploaded."""
     W = 8
     while W < len(windows):
         W *= 2
@@ -532,10 +610,26 @@ def _viterbi_windows(windows: list[_Window], models: PoreModelSet,
             jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(rk),
             _device_model_table(models), jnp.asarray(n_states),
             jnp.asarray(epb), hmm_probs)
+    return pc, pl, ns_arr, len(windows)
+
+
+def _viterbi_windows_collect(handle) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Block on a dispatched Viterbi chunk; returns (codes, n_states) per
+    window in dispatch order."""
+    pc, pl, ns_arr, n = handle
     pc = np.asarray(pc); pl = np.asarray(pl)
     L = pc.shape[1]
-    return [(pc[i, L - pl[i]:], int(ns_arr[i]))
-            for i in range(len(windows))]
+    return [(pc[i, L - pl[i]:], int(ns_arr[i])) for i in range(n)]
+
+
+def _viterbi_windows(windows: list[_Window], models: PoreModelSet,
+                     cfg: SubstrateConfig, hmm_probs, n_state_pad: int,
+                     t_buckets,
+                     obs_dtype=np.float16) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Dispatch + collect one batched Viterbi call (see the _dispatch and
+    _collect halves)."""
+    return _viterbi_windows_collect(_viterbi_windows_dispatch(
+        windows, models, cfg, hmm_probs, n_state_pad, t_buckets, obs_dtype))
 
 
 def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
@@ -607,13 +701,16 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
         results: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         order = sorted(range(len(all_windows)),
                        key=lambda i: all_windows[i].obs_scaled.shape[0])
+        # dispatch every chunk before collecting any: the device queue
+        # overlaps chunk k's execution with chunk k+1's host batch build
+        handles = []
         for c0 in range(0, len(order), max_windows_per_batch):
             chunk_ids = order[c0 : c0 + max_windows_per_batch]
             chunk = [all_windows[i] for i in chunk_ids]
-            for wid, res in zip(chunk_ids,
-                                _viterbi_windows(chunk, models, cfg,
-                                                 hmm_probs, n_state_pad,
-                                                 t_buckets)):
+            handles.append((chunk_ids, _viterbi_windows_dispatch(
+                chunk, models, cfg, hmm_probs, n_state_pad, t_buckets)))
+        for chunk_ids, h in handles:
+            for wid, res in zip(chunk_ids, _viterbi_windows_collect(h)):
                 results[wid] = res
         simple = not collect_text and calls_per_read is None
         for st, w0, w1 in win_range_per_state:
