@@ -152,6 +152,33 @@ def apply_model_f16(model: DetectCNN, params, core_idx, residual_idx, signal):
                        signal).astype(jnp.float16)
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def apply_model_flat_f16(model: DetectCNN, params, core_idx, residual_idx,
+                         flat_sig_u8, counts_u8, t_index):
+    """Transfer-lean forward for slow interconnects.
+
+    Per-position raw-sample windows arrive as one flat u8 stream plus a
+    per-position count (instead of the zero-padded (B, L, RAWDEPTH) matrix —
+    roughly half the bytes at typical stay lengths); the window matrix is
+    reconstructed on device with a cumsum + gather.  Output probabilities
+    are gathered at ``t_index`` (flat B*L indices of the centre-T positions,
+    the only ones the caller reports — detect.cpp:690) so the download
+    shrinks to the called positions.
+    """
+    B, L = core_idx.shape
+    counts = counts_u8.astype(jnp.int32).reshape(B * L)
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    j = jnp.arange(RAWDEPTH, dtype=jnp.int32)
+    idx = offs[:, None] + j[None, :]
+    valid = j[None, :] < counts[:, None]
+    flat = flat_sig_u8.astype(jnp.int32)
+    sig_q = jnp.where(valid, flat[jnp.clip(idx, 0, flat.shape[0] - 1)], 0)
+    sig = sig_q.astype(jnp.uint8).reshape(B, L, RAWDEPTH)
+    probs = model.apply(params, core_idx, residual_idx, sig)
+    return probs.reshape(B * L, -1)[t_index].astype(jnp.float16)
+
+
 # ---------------------------------------------------------------------------
 # Parameter persistence (npz; orbax used for training checkpoints elsewhere)
 # ---------------------------------------------------------------------------

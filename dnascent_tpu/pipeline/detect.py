@@ -60,11 +60,19 @@ def _bucket_len(n: int) -> int:
     return ((n + 2047) // 2048) * 2048
 
 
+def _bucket_up(n: int, step: int) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
 def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
                     batch_positions: int = 1 << 18):
     """Run the CNN over all QC-passed reads, bucketing by padded position
-    count.  Returns {read_id: (C,3) float32 probabilities} aligned with each
-    read's AlignedPositions order."""
+    count.  Returns {read_id: (Ct,3) float32 probabilities at the read's
+    centre-T positions}, in AlignedPositions order restricted to
+    ``center_is_T`` (the only positions the reference reports,
+    detect.cpp:690).  Signal windows travel as a flat u8 sample stream +
+    per-position counts and only T-position probabilities come back, so
+    both transfer directions stay small."""
     jobs = []
     for p in prepped:
         res = results.get(p.record.read_id)
@@ -75,6 +83,7 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
     buckets: dict[int, list] = {}
     for p, pos in jobs:
         buckets.setdefault(_bucket_len(pos.coord.shape[0]), []).append((p, pos))
+    dispatched = []
     for L, group in sorted(buckets.items()):
         # batch size bounded so padded tensors stay modest
         bs = max(1, batch_positions // L)
@@ -83,31 +92,54 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
             B = len(chunk)
             core = np.zeros((B, L), dtype=np.int16)
             resid = np.zeros((B, L), dtype=np.int16)
-            # u8 transfer: quarter of f32 bytes; the model dequantises
-            sig = np.zeros((B, L, cnn_mod.RAWDEPTH), dtype=np.uint8)
+            counts = np.zeros((B, L), dtype=np.uint8)
+            flats = []
+            t_idx_parts = []
+            t_spans = []
             for b, (p, pos) in enumerate(chunk):
                 n = pos.coord.shape[0]
                 core[b, :n] = pos.core_idx
                 resid[b, :n] = pos.residual_idx
-                sig[b, :n] = cnn_mod.quantise_signal_u8(pos.signal)
-            probs = cnn_mod.apply_model_f16(model, params, jnp.asarray(core),
-                                            jnp.asarray(resid),
-                                            jnp.asarray(sig))
-            probs = np.asarray(probs).astype(np.float32)
-            for b, (p, pos) in enumerate(chunk):
-                out[p.record.read_id] = probs[b, : pos.coord.shape[0]]
+                q = cnn_mod.quantise_signal_u8(pos.signal)
+                c = np.minimum(pos.n_signals, cnn_mod.RAWDEPTH).astype(np.uint8)
+                counts[b, :n] = c
+                take = (np.arange(cnn_mod.RAWDEPTH)[None, :]
+                        < c[:, None].astype(np.int64))
+                flats.append(q[take])
+                tpos = np.flatnonzero(pos.center_is_T).astype(np.int32)
+                t_idx_parts.append(b * L + tpos)
+                t_spans.append(tpos.shape[0])
+            flat = np.concatenate(flats) if flats else np.zeros(0, np.uint8)
+            flat = np.pad(flat, (0, _bucket_up(flat.shape[0], 1 << 20)
+                                 - flat.shape[0]))
+            t_index = (np.concatenate(t_idx_parts) if t_idx_parts
+                       else np.zeros(0, np.int32))
+            nt = t_index.shape[0]
+            t_index = np.pad(t_index, (0, _bucket_up(nt, 1 << 14) - nt))
+            probs_dev = cnn_mod.apply_model_flat_f16(
+                model, params, jnp.asarray(core), jnp.asarray(resid),
+                jnp.asarray(flat), jnp.asarray(counts),
+                jnp.asarray(t_index))
+            dispatched.append((chunk, t_spans, probs_dev))
+    for chunk, t_spans, probs_dev in dispatched:
+        probs = np.asarray(probs_dev).astype(np.float32)
+        o = 0
+        for (p, pos), ct in zip(chunk, t_spans):
+            out[p.record.read_id] = probs[o : o + ct]
+            o += ct
     return out
 
 
 def collect_calls(rec: ReadRecord, pos: AlignedPositions,
-                  probs: np.ndarray) -> DetectedRead:
+                  probs_t: np.ndarray) -> DetectedRead:
     """Unpack CNN output per the reference's runCNN bookkeeping
-    (detect.cpp:686-714): keep centre-T positions; probs columns are
-    [unmodified, BrdU, EdU]."""
+    (detect.cpp:686-714).  ``probs_t`` holds probabilities at the read's
+    centre-T positions only (run_cnn_batched gathers them on device);
+    columns are [unmodified, BrdU, EdU]."""
     sel = pos.center_is_T
     coords = pos.coord[sel]
-    brdu = probs[sel, 1].astype(np.float32)
-    edu = probs[sel, 2].astype(np.float32)
+    brdu = probs_t[:, 1].astype(np.float32)
+    edu = probs_t[:, 2].astype(np.float32)
     # reference-oriented kmers for the human-readable table
     k = 9
     kmers = []
@@ -115,16 +147,16 @@ def collect_calls(rec: ReadRecord, pos: AlignedPositions,
         kmer = rec.reference_seq[ks : ks + k]
         kmers.append(reverse_complement(kmer) if rec.is_reverse else kmer)
     # modbam side: skip positions whose reference index is in a deletion
-    qsel = sel & ~rec.ref_to_del[pos.ref_idx]
+    qsel_t = ~rec.ref_to_del[pos.ref_idx[sel]]
     return DetectedRead(
         record=rec,
         ref_coords=coords,
         edu_prob=edu,
         brdu_prob=brdu,
         kmers_ref=kmers,
-        query_indices=pos.query_idx[qsel],
-        edu_prob_q=probs[qsel, 2].astype(np.float32),
-        brdu_prob_q=probs[qsel, 1].astype(np.float32),
+        query_indices=pos.query_idx[sel][qsel_t],
+        edu_prob_q=edu[qsel_t],
+        brdu_prob_q=brdu[qsel_t],
     )
 
 
