@@ -118,6 +118,68 @@ def theilsen_refine(cleaned_signals: jnp.ndarray,  # (B, P) f32, zero-padded
     return new_shift, new_scale
 
 
+@functools.partial(jax.jit, static_argnames=("max_points",))
+def theilsen_refine_pregathered(sig: jnp.ndarray,      # (B, max_points) f32
+                                y: jnp.ndarray,        # (B, max_points) f32
+                                num_points: jnp.ndarray,  # (B,) i32
+                                passthrough: jnp.ndarray,  # (B,) bool
+                                shift: jnp.ndarray,    # (B,) f32
+                                scale: jnp.ndarray,    # (B,) f32
+                                max_points: int = 1000):
+    """Upload-lean Theil-Sen: the deterministic stride subsample
+    (``idx = trim + skip*j``, event_handling.cpp:63-65) is applied on the
+    host so only the <=1000 selected (signal, model-mean) points per read
+    cross the interconnect instead of the full padded cleaned-event arrays.
+    Masked positions (j >= num_points) may hold arbitrary values.  Math from
+    the rescale onward is identical to :func:`theilsen_refine`."""
+    B = sig.shape[0]
+    j = jnp.arange(max_points, dtype=jnp.int32)
+    pt_mask = j[None, :] < num_points[:, None]
+    x = (sig - shift[:, None]) / scale[:, None]
+
+    dy = y[:, :, None] - y[:, None, :]
+    dx = x[:, :, None] - x[:, None, :]
+    pair_mask = (pt_mask[:, :, None] & pt_mask[:, None, :]
+                 & (j[None, :, None] < j[None, None, :]))
+    slopes = jnp.where(pair_mask & (dx != 0), dy / jnp.where(dx == 0, 1.0, dx), 0.0)
+    inf_val = jnp.where(dy >= 0, jnp.float32(jnp.inf), jnp.float32(-jnp.inf))
+    slopes = jnp.where(pair_mask & (dx == 0), inf_val, slopes)
+    m_slope = masked_median_lower(slopes.reshape(B, -1), pair_mask.reshape(B, -1))
+
+    intercepts = y - m_slope[:, None] * x
+    b_int = masked_median_lower(intercepts, pt_mask)
+
+    new_shift = shift + (-b_int / m_slope) * scale
+    new_scale = scale * (1.0 / m_slope)
+    failed = m_slope == 0.0
+    new_shift = jnp.where(failed, -1.0, new_shift)
+    new_scale = jnp.where(failed, -1.0, new_scale)
+    new_shift = jnp.where(passthrough, shift, new_shift)
+    new_scale = jnp.where(passthrough, scale, new_scale)
+    return new_shift, new_scale
+
+
+def theilsen_pregather(cleaned_signals: np.ndarray, model_ranks: np.ndarray,
+                       pore_model: np.ndarray, max_points: int, trim: int):
+    """Host-side stride subsample matching theilsen_refine's device gather
+    exactly (within the point mask idx < n always holds, so padding never
+    leaks in).  Returns (sig_pts, y_pts, num_points, passthrough) for one
+    read."""
+    n = cleaned_signals.shape[0]
+    effective = n - 2 * trim
+    skip = effective // max_points if effective > max_points else 1
+    num_points = min(effective, max_points)
+    sig = np.zeros(max_points, dtype=np.float32)
+    y = np.zeros(max_points, dtype=np.float32)
+    if n > 0 and num_points > 0:
+        j = np.arange(max_points, dtype=np.int64)
+        idx = np.clip(trim + skip * j, 0, n - 1)
+        sig[:] = cleaned_signals[idx]
+        safe = np.where(model_ranks[idx] < 0, 0, model_ranks[idx])
+        y[:] = pore_model[safe, 0]
+    return sig, y, max(num_points, 0), n < max_points
+
+
 @functools.partial(jax.jit, static_argnames=("n_quantiles",))
 def quantile_scaling_device(event_means: jnp.ndarray,   # (B, E) f32, +inf pad
                             n_events: jnp.ndarray,      # (B,) i32

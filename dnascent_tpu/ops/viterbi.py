@@ -210,6 +210,26 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
     return path_code, path_len, score
 
 
+def pack_path_codes(path_code: jnp.ndarray) -> jnp.ndarray:
+    """Nibble-pack path codes (3 significant bits each) two per byte so the
+    path download halves.  Pads a leading KIND_PAD column when L is odd so
+    the "last path_len entries" alignment survives unpacking."""
+    W, L = path_code.shape
+    if L % 2:
+        pad = jnp.full((W, 1), KIND_PAD, dtype=jnp.uint8)
+        path_code = jnp.concatenate([pad, path_code], axis=1)
+    return path_code[:, 0::2] | (path_code[:, 1::2] << 4)
+
+
+def unpack_path_codes(packed: np.ndarray) -> np.ndarray:
+    """Host-side inverse of :func:`pack_path_codes` -> (W, 2*Lp) uint8."""
+    W, Lp = packed.shape
+    out = np.empty((W, 2 * Lp), dtype=np.uint8)
+    out[:, 0::2] = packed & 0x0F
+    out[:, 1::2] = packed >> 4
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("hmm_probs",))
 def viterbi_jit(obs, n_obs, mu, inv_sigma, lp_const, n_states, events_per_base,
                 hmm_probs):
@@ -229,8 +249,10 @@ def viterbi_from_flat_ranks_jit(obs, n_obs, starts, flat_ranks, model_table,
     r = flat_ranks[jnp.clip(idx, 0, flat_ranks.shape[0] - 1)]
     in_range = jnp.arange(N, dtype=jnp.int32)[None, :] < n_states[:, None]
     ranks = jnp.where(in_range, r, -1)
-    return viterbi_from_ranks_core(obs, n_obs, ranks, model_table, n_states,
-                                   events_per_base, hmm_probs)
+    pc, pl, score = viterbi_from_ranks_core(obs, n_obs, ranks, model_table,
+                                            n_states, events_per_base,
+                                            hmm_probs)
+    return pack_path_codes(pc), pl, score
 
 
 def viterbi_from_ranks_core(obs, n_obs, ranks, model_table, n_states,
@@ -251,14 +273,16 @@ def viterbi_from_ranks_jit(obs, n_obs, ranks, model_table, n_states,
                            events_per_base, hmm_probs):
     """Variant taking per-state k-mer ranks + the (4^k, 2) pore-model table
     (device-resident) instead of three per-window coefficient planes — one
-    i32 upload instead of three f32 uploads per batch."""
+    i32 upload instead of three f32 uploads per batch.  Path codes come back
+    nibble-packed (see :func:`pack_path_codes`)."""
     mu = model_table[ranks, 0]
     sigma = jnp.maximum(model_table[ranks, 1], 1e-6)  # guard zero rows
     inv_sigma = 1.0 / sigma
     lp_const = jnp.float32(np.log(0.3989422804014327)) - jnp.log(sigma)
     lp_const = jnp.where(ranks < 0, NEG, lp_const)
-    return viterbi_fill_backtrace(obs, n_obs, mu, inv_sigma, lp_const,
-                                  n_states, events_per_base, hmm_probs)
+    pc, pl, score = viterbi_fill_backtrace(obs, n_obs, mu, inv_sigma, lp_const,
+                                           n_states, events_per_base, hmm_probs)
+    return pack_path_codes(pc), pl, score
 
 
 def decode_path(codes: np.ndarray, n_states: int):

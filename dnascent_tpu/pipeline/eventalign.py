@@ -617,7 +617,8 @@ def _viterbi_windows_collect(handle) -> list[tuple[np.ndarray, np.ndarray]]:
     """Block on a dispatched Viterbi chunk; returns (codes, n_states) per
     window in dispatch order."""
     pc, pl, ns_arr, n = handle
-    pc = np.asarray(pc); pl = np.asarray(pl)
+    pc = vit.unpack_path_codes(np.asarray(pc))
+    pl = np.asarray(pl)
     L = pc.shape[1]
     return [(pc[i, L - pl[i]:], int(ns_arr[i])) for i in range(n)]
 

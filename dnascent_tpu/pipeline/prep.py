@@ -245,27 +245,28 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             cleaned_per_read[id(p)] = (cs, cr)
 
     # --- Theil-Sen refinement, batched on device ---
+    # stride-subsample on host (scaling.theilsen_pregather) so only the
+    # <=1000 selected points per read are uploaded, not the padded
+    # cleaned-event arrays
     live2 = [p for p in live if p.passed]
     if live2:
-        P = max(1000, max(cleaned_per_read[id(p)][0].shape[0] for p in live2))
+        mp = cfg.scaling.theilsen_max_points
         B = len(live2)
-        sig = np.zeros((B, P), dtype=np.float32)
-        mms = np.zeros((B, P), dtype=np.float32)
-        ncl = np.zeros(B, dtype=np.int32)
+        sig = np.zeros((B, mp), dtype=np.float32)
+        mms = np.zeros((B, mp), dtype=np.float32)
+        npts = np.zeros(B, dtype=np.int32)
+        passth = np.zeros(B, dtype=bool)
         sh = np.zeros(B, dtype=np.float32)
         sc = np.zeros(B, dtype=np.float32)
         for b, p in enumerate(live2):
             cs, cr = cleaned_per_read[id(p)]
-            n = cs.shape[0]
-            sig[b, :n] = cs
-            mms[b, :n] = models.pore_model[np.where(cr < 0, 0, cr), 0]
-            ncl[b] = n
+            sig[b], mms[b], npts[b], passth[b] = scaling.theilsen_pregather(
+                cs, cr, models.pore_model, mp, cfg.scaling.theilsen_trim)
             sh[b], sc[b] = p.shift, p.scale
-        new_sh, new_sc = scaling.theilsen_refine(
-            jnp.asarray(sig), jnp.asarray(mms), jnp.asarray(ncl),
-            jnp.asarray(sh), jnp.asarray(sc),
-            max_points=cfg.scaling.theilsen_max_points,
-            trim=cfg.scaling.theilsen_trim)
+        new_sh, new_sc = scaling.theilsen_refine_pregathered(
+            jnp.asarray(sig), jnp.asarray(mms), jnp.asarray(npts),
+            jnp.asarray(passth), jnp.asarray(sh), jnp.asarray(sc),
+            max_points=mp)
         new_sh = np.asarray(new_sh); new_sc = np.asarray(new_sc)
         for b, p in enumerate(live2):
             p.shift, p.scale = float(new_sh[b]), float(new_sc[b])

@@ -72,3 +72,38 @@ def test_quantile_scaling_device_matches_oracle(models, rng):
     for b in range(B):
         assert abs(float(sh[b]) - expect[b][0]) < 1e-2, b
         assert abs(float(scl[b]) - expect[b][1]) < 1e-3, b
+
+
+def test_theilsen_pregathered_matches_full(rng):
+    """Host stride-subsample + lean kernel == original padded kernel."""
+    B, P = 3, 1400
+    sigs = np.zeros((B, P), dtype=np.float32)
+    ranks = np.zeros((B, P), dtype=np.int64)
+    pore = np.zeros((4 ** 9, 2), dtype=np.float32)
+    pore[:, 0] = rng.normal(90, 10, 4 ** 9).astype(np.float32)
+    n = np.array([1400, 1200, 500], dtype=np.int32)
+    shift = np.array([90.0, 85.0, 88.0], dtype=np.float32)
+    scale = np.array([16.0, 15.0, 14.0], dtype=np.float32)
+    mms = np.zeros((B, P), dtype=np.float32)
+    for b in range(B):
+        r = rng.integers(0, 4 ** 9, n[b])
+        ranks[b, : n[b]] = r
+        mms[b, : n[b]] = pore[r, 0]
+        sigs[b, : n[b]] = (88.0 + 15.0 * rng.normal(size=n[b])).astype(np.float32)
+    exp_sh, exp_sc = scaling.theilsen_refine(
+        jnp.asarray(sigs), jnp.asarray(mms), jnp.asarray(n),
+        jnp.asarray(shift), jnp.asarray(scale))
+    mp, tr = 1000, 50
+    g_sig = np.zeros((B, mp), np.float32)
+    g_y = np.zeros((B, mp), np.float32)
+    npts = np.zeros(B, np.int32)
+    passth = np.zeros(B, bool)
+    for b in range(B):
+        g_sig[b], g_y[b], npts[b], passth[b] = scaling.theilsen_pregather(
+            sigs[b, : n[b]], ranks[b, : n[b]], pore, mp, tr)
+    got_sh, got_sc = scaling.theilsen_refine_pregathered(
+        jnp.asarray(g_sig), jnp.asarray(g_y), jnp.asarray(npts),
+        jnp.asarray(passth), jnp.asarray(shift), jnp.asarray(scale),
+        max_points=mp)
+    np.testing.assert_array_equal(np.asarray(exp_sh), np.asarray(got_sh))
+    np.testing.assert_array_equal(np.asarray(exp_sc), np.asarray(got_sc))
