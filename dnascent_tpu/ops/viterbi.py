@@ -255,6 +255,30 @@ def viterbi_from_flat_ranks_jit(obs, n_obs, starts, flat_ranks, model_table,
     return pack_path_codes(pc), pl, score
 
 
+@functools.partial(jax.jit, static_argnames=("hmm_probs", "n_state_pad",
+                                             "t_pad"))
+def viterbi_from_flat_jit(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
+                          model_table, n_states, events_per_base, hmm_probs,
+                          n_state_pad, t_pad):
+    """Fully flat variant: observations AND ranks are gathered on device
+    from resident flat arrays (each uploaded once per read batch), so a
+    window chunk ships only its i32 offset vectors.  ``t_pad`` is the static
+    time bucket; junk beyond ``n_obs`` is masked by the scan.  Path codes
+    come back nibble-packed."""
+    T = t_pad
+    oidx = obs_starts[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    obs = obs_flat[jnp.clip(oidx, 0, obs_flat.shape[0] - 1)]
+    N = n_state_pad
+    ridx = rank_starts[:, None] + jnp.arange(N, dtype=jnp.int32)[None, :]
+    r = flat_ranks[jnp.clip(ridx, 0, flat_ranks.shape[0] - 1)]
+    in_range = jnp.arange(N, dtype=jnp.int32)[None, :] < n_states[:, None]
+    ranks = jnp.where(in_range, r, -1)
+    pc, pl, score = viterbi_from_ranks_core(obs, n_obs, ranks, model_table,
+                                            n_states, events_per_base,
+                                            hmm_probs)
+    return pack_path_codes(pc), pl, score
+
+
 def viterbi_from_ranks_core(obs, n_obs, ranks, model_table, n_states,
                             events_per_base, hmm_probs):
     obs = obs.astype(jnp.float32)

@@ -208,8 +208,9 @@ def detect_reads(records: Iterable[ReadRecord], models: PoreModelSet,
                     cur = []
             if cur:
                 q.put(cur)
-        finally:
             q.put(None)
+        except BaseException as e:  # re-raised on the consumer side
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -217,5 +218,8 @@ def detect_reads(records: Iterable[ReadRecord], models: PoreModelSet,
         batch = q.get()
         if batch is None:
             break
+        if isinstance(batch, BaseException):
+            t.join()
+            raise batch
         yield from flush(batch)
     t.join()

@@ -73,6 +73,11 @@ class _ReadState:
         "indel": []})
     text_parts: list = field(default_factory=list)
     exhausted: bool = False
+    # fast mode: the read's guarded scaled-observation stream (f16) that
+    # windows view into, and its base offset in the batch-flat device array
+    g_obs: Optional[np.ndarray] = None
+    flat_obs_base: int = -1
+    rank_off: int = -1          # per-call flat-rank offset (when built here)
 
 
 @dataclass
@@ -80,11 +85,12 @@ class _Window:
     state: _ReadState
     ref_index: int
     window_length: int
-    obs_scaled: np.ndarray      # (T,) f32
+    obs_scaled: np.ndarray      # (T,) f32 (strict) / f16 view (fast)
     event_ids: np.ndarray       # (T,) global event index per observation
     first_inrange: int          # pair index of the first in-range event
     indel_score: int
     reference_coord: int
+    flat_local: int = -1        # fast mode: offset into state.g_obs
 
 
 def _build_state(p: PreparedRead, models: PoreModelSet,
@@ -264,34 +270,25 @@ def _build_all_windows(st: _ReadState, cfg: SubstrateConfig,
     if not metas:
         return []
 
-    # one vectorised pass builds every window's event selection at once
-    starts = np.array([mt[2] for mt in metas])
-    ends = np.array([mt[3] for mt in metas])
-    lens = ends - starts
-    idx = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])),
-                    lens) + np.arange(int(lens.sum()))
-    ev_all = pairs[idx, 0]
-    means_all = ev_mean[ev_all]
-    guard_all = guard_ok[idx]
-    obs_all = ((means_all - p.shift) / p.scale).astype(np.float32)
-    bounds = np.cumsum(lens)[:-1]
-    ev_split = np.split(ev_all, bounds)
-    obs_split = np.split(obs_all, bounds)
-    guard_split = np.split(guard_all, bounds)
+    # windows view into the read's guarded event/observation streams (the
+    # per-window [j0, j1) pair spans map to contiguous [g0, g1) spans of the
+    # guard-filtered stream), so no per-window copies are made and the
+    # device batch ships one flat f16 array + i32 offsets
+    g_ev = pairs[guard_ok, 0]
+    st.g_obs = ((ev_mean[g_ev] - p.shift) / p.scale).astype(np.float16)
 
     out = []
-    for (ri, wl, j0, j1), ev_w, obs_w, g_w in zip(
-            metas, ev_split, obs_split, guard_split):
-        ev_ids = ev_w[g_w][:t_cap]
-        obs = obs_w[g_w][:t_cap]
+    for ri, wl, j0, j1 in metas:
+        g0 = int(guard_cum[j0])
+        g1 = min(int(guard_cum[j1]), g0 + t_cap)
         query_span = int(r2q[ri + wl - k + 1] - r2q[ri])
         indel_score = query_span - (wl - k + 1)
         if p.record.is_reverse:
             ref_coord = p.record.ref_end - ri - k // 2
         else:
             ref_coord = p.record.ref_start + ri + k // 2
-        out.append(_Window(st, ri, wl, obs, ev_ids, j0,
-                           indel_score, ref_coord))
+        out.append(_Window(st, ri, wl, st.g_obs[g0:g1], g_ev[g0:g1], j0,
+                           indel_score, ref_coord, flat_local=g0))
     return out
 
 
@@ -613,6 +610,44 @@ def _viterbi_windows_dispatch(windows: list[_Window], models: PoreModelSet,
     return pc, pl, ns_arr, len(windows)
 
 
+def _bucket_up(n: int, step: int) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+def _viterbi_windows_dispatch_flat(windows: list[_Window], obs_flat_dev,
+                                   ranks_flat_dev, obs_starts: np.ndarray,
+                                   rank_starts: np.ndarray, models,
+                                   cfg: SubstrateConfig, hmm_probs,
+                                   n_state_pad: int, t_buckets):
+    """Fast-mode dispatch: both observation and rank data are resident flat
+    device arrays; the chunk ships only three i32 vectors (starts, lengths,
+    state counts) plus per-read scalars."""
+    n = len(windows)
+    W = 8
+    while W < n:
+        W *= 2
+    lens = np.fromiter((w.obs_scaled.shape[0] for w in windows), np.int64, n)
+    T = next(b for b in t_buckets if b >= int(lens.max()))
+    n_obs = np.zeros(W, dtype=np.int32)
+    n_obs[:n] = lens
+    ostarts = np.zeros(W, dtype=np.int32)
+    ostarts[:n] = obs_starts
+    rstarts = np.zeros(W, dtype=np.int32)
+    rstarts[:n] = rank_starts
+    ns_arr = np.fromiter((w.window_length - cfg.kmer_len + 1
+                          for w in windows), np.int64, n)
+    n_states = np.ones(W, dtype=np.int32)
+    n_states[:n] = ns_arr
+    epb = np.ones(W, dtype=np.float32)
+    epb[:n] = np.fromiter((w.state.p.events_per_base for w in windows),
+                          np.float64, n)
+    pc, pl, _score = vit.viterbi_from_flat_jit(
+        obs_flat_dev, jnp.asarray(ostarts), jnp.asarray(n_obs),
+        jnp.asarray(rstarts), ranks_flat_dev, _device_model_table(models),
+        jnp.asarray(n_states), jnp.asarray(epb), hmm_probs, n_state_pad, T)
+    return pc, pl, ns_arr, n
+
+
 def _viterbi_windows_collect(handle) -> list[tuple[np.ndarray, np.ndarray]]:
     """Block on a dispatched Viterbi chunk; returns (codes, n_states) per
     window in dispatch order."""
@@ -697,6 +732,53 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
             w0 = len(all_windows)
             all_windows.extend(_build_all_windows(st, cfg, t_cap))
             win_range_per_state.append((st, w0, len(all_windows)))
+
+        # upload every read's guarded observation stream once as one flat
+        # f16 array (length padded to a coarse bucket so batch size changes
+        # do not recompile the kernel)
+        obs_parts = []
+        base = 0
+        for st, w0, w1 in win_range_per_state:
+            if w1 > w0:
+                st.flat_obs_base = base
+                obs_parts.append(st.g_obs)
+                base += st.g_obs.shape[0]
+        obs_flat = np.zeros(_bucket_up(base, 1 << 17), dtype=np.float16)
+        if obs_parts:
+            obs_flat[:base] = np.concatenate(obs_parts)
+        obs_flat_dev = jnp.asarray(obs_flat)
+
+        # rank side: reuse prep's resident flat array when the whole batch
+        # shares it, else build one per call
+        shared = states[0].p.flat_ranks_device if states else None
+        uniform = shared is not None and all(
+            st.p.flat_ranks_device is shared for st in states)
+        if uniform:
+            ranks_flat_dev = shared
+            for st in states:
+                st.rank_off = st.p.flat_ranks_offset
+        else:
+            parts = []
+            off = 0
+            for st in states:
+                safe = np.where(st.p.kmer_ranks_ref < 0, 0,
+                                st.p.kmer_ranks_ref).astype(np.int32)
+                st.rank_off = off
+                parts.append(safe)
+                off += safe.shape[0]
+            rk_flat = np.zeros(_bucket_up(off, 1 << 16), dtype=np.int32)
+            if parts:
+                rk_flat[:off] = np.concatenate(parts)
+            ranks_flat_dev = jnp.asarray(rk_flat)
+
+        obs_start_all = np.empty(len(all_windows), dtype=np.int64)
+        rank_start_all = np.empty(len(all_windows), dtype=np.int64)
+        for st, w0, w1 in win_range_per_state:
+            for i in range(w0, w1):
+                w = all_windows[i]
+                obs_start_all[i] = st.flat_obs_base + w.flat_local
+                rank_start_all[i] = st.rank_off + w.ref_index
+
         # batch by T bucket to keep padding tight, preserving per-read order
         # during processing
         results: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -708,8 +790,10 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
         for c0 in range(0, len(order), max_windows_per_batch):
             chunk_ids = order[c0 : c0 + max_windows_per_batch]
             chunk = [all_windows[i] for i in chunk_ids]
-            handles.append((chunk_ids, _viterbi_windows_dispatch(
-                chunk, models, cfg, hmm_probs, n_state_pad, t_buckets)))
+            handles.append((chunk_ids, _viterbi_windows_dispatch_flat(
+                chunk, obs_flat_dev, ranks_flat_dev,
+                obs_start_all[chunk_ids], rank_start_all[chunk_ids],
+                models, cfg, hmm_probs, n_state_pad, t_buckets)))
         for chunk_ids, h in handles:
             for wid, res in zip(chunk_ids, _viterbi_windows_collect(h)):
                 results[wid] = res

@@ -289,7 +289,13 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             p.flat_ranks_offset = off
             chunks.append(safe)
             off += safe.shape[0]
-        flat = jnp.asarray(np.concatenate(chunks))
+        # length padded to a coarse bucket so batch-size changes do not
+        # recompile kernels that trace the flat array's shape
+        cat = np.concatenate(chunks)
+        padded = np.zeros(max(1 << 16, -(-cat.shape[0] // (1 << 16)) << 16),
+                          dtype=np.int32)
+        padded[: cat.shape[0]] = cat
+        flat = jnp.asarray(padded)
         for p in passed:
             p.flat_ranks_device = flat
     return prepped
