@@ -53,6 +53,12 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
     entries are KIND_PAD)."""
     W, T = obs.shape
     N = mu.shape[1]
+    # state-major (N, W) layout: W (thousands of windows) rides the 128-lane
+    # axis fully tiled, instead of the 72-state axis padding lanes to 128
+    obs_T = obs.T.astype(jnp.float32)                    # (T, W)
+    muT = mu.T
+    invT = inv_sigma.T
+    lpcT = lp_const.T                                    # (N, W)
     eD2D_f, eD2M_f, eI2M_f, eM2D_f, iM2I_f, iI2I_f = hmm_probs
     eD2D = jnp.float32(np.log(eD2D_f))
     eD2M = jnp.float32(np.log(eD2M_f))
@@ -67,23 +73,23 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
     eM2MorD = jnp.logaddexp(eM2M, eM2D)
     eOrIM2M = jnp.logaddexp(eM2M, iM2M)
 
-    sidx = jnp.arange(N, dtype=jnp.int32)[None, :]       # (1, N)
-    in_range = sidx < n_states[:, None]                  # (W, N)
-    is0 = sidx == 0
+    sidx = jnp.arange(N, dtype=jnp.int32)[:, None]       # (N, 1)
+    in_range = sidx < n_states[None, :]                  # (N, W)
+    is0 = sidx == 0                                      # (N, 1)
 
     # initial column: start -> D0 -> D1 -> ... (alignment.cpp:239-251)
     D0 = jnp.where(in_range, eM2D + sidx.astype(jnp.float32) * eD2D, NEG)
-    I0 = jnp.full((W, N), NEG)
-    M0 = jnp.full((W, N), NEG)
+    I0 = jnp.full((N, W), NEG)
+    M0 = jnp.full((N, W), NEG)
 
     def step(carry, t):
-        I_prev, M_prev, D_prev = carry
-        active = (t < n_obs)[:, None]                    # (W, 1)
+        I_prev, M_prev, D_prev = carry                   # (N, W)
+        active = (t < n_obs)[None, :]                    # (1, W)
         start_prev = jnp.where(t == 0, jnp.float32(0.0), NEG)  # scalar
-        start_prev = jnp.full((W, 1), start_prev)
-        xt = jax.lax.dynamic_slice_in_dim(obs, t, 1, axis=1)  # (W, 1)
-        a = (xt - mu) * inv_sigma
-        em = lp_const - jnp.float32(0.5) * a * a
+        start_prev = jnp.full((1, W), start_prev)
+        xt = jax.lax.dynamic_slice_in_dim(obs_T, t, 1, axis=0)  # (1, W)
+        a = (xt - muT) * invT
+        em = lpcT - jnp.float32(0.5) * a * a
 
         # --- insertions (alignment.cpp:277-302, 350-369) ---
         cI = jnp.stack([I_prev + iI2I, M_prev + iM2I,
@@ -93,13 +99,13 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
 
         # --- matches (alignment.cpp:304-323, 371-402) ---
         shift = lambda v: jnp.concatenate(
-            [jnp.full((W, 1), NEG), v[:, :-1]], axis=1)  # v[i-1]
+            [jnp.full((1, W), NEG), v[:-1, :]], axis=0)  # v[i-1]
         # candidate order must mirror lnArgMax order at :377-381 for states
         # i>=1 and :308-310 for state 0
-        cM_i = jnp.stack([shift(I_prev) + eI2M, shift(M_prev) + eM2M[:, None],
-                          M_prev + iM2M[:, None], shift(D_prev) + eD2M])
-        cM0 = jnp.stack([M_prev + iM2M[:, None],
-                         jnp.where(is0, start_prev + eOrIM2M[:, None], NEG)])
+        cM_i = jnp.stack([shift(I_prev) + eI2M, shift(M_prev) + eM2M[None, :],
+                          M_prev + iM2M[None, :], shift(D_prev) + eD2M])
+        cM0 = jnp.stack([M_prev + iM2M[None, :],
+                         jnp.where(is0, start_prev + eOrIM2M[None, :], NEG)])
         M_curr_i = cM_i.max(axis=0) + em
         aM_i = jnp.argmax(cM_i, axis=0).astype(jnp.uint8)
         M_curr_0 = cM0.max(axis=0) + em
@@ -114,7 +120,7 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
         # D[i] = max_{j<=i-1}(M[j] - j*eD2D) + eM2D + (i-1)*eD2D
         fj = sidx.astype(jnp.float32)
         A = M_curr - fj * eD2D
-        cmax_excl = shift(jax.lax.cummax(A, axis=1))     # max over j <= i-1
+        cmax_excl = shift(jax.lax.cummax(A, axis=0))     # max over j <= i-1
         D_curr = jnp.where(is0, NEG, cmax_excl + eM2D + (fj - 1.0) * eD2D)
         # pointer: M[i-1]+eM2D vs D[i-1]+eD2D, M wins ties (lnArgMax order)
         c0 = shift(M_curr) + eM2D
@@ -131,13 +137,13 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
 
     (I_fin, M_fin, D_fin), codes = jax.lax.scan(
         step, (I0, M0, D0), jnp.arange(T, dtype=jnp.int32))
-    # codes: (T, W, N) uint8
+    # codes: (T, N, W) uint8
 
     # --- termination (alignment.cpp:445-476) ---
-    last = jnp.clip(n_states - 1, 0, N - 1)[:, None]
-    Dl = jnp.take_along_axis(D_fin, last, axis=1)[:, 0]
-    Ml = jnp.take_along_axis(M_fin, last, axis=1)[:, 0]
-    Il = jnp.take_along_axis(I_fin, last, axis=1)[:, 0]
+    last = jnp.clip(n_states - 1, 0, N - 1)[None, :]
+    Dl = jnp.take_along_axis(D_fin, last, axis=0)[0]
+    Ml = jnp.take_along_axis(M_fin, last, axis=0)[0]
+    Il = jnp.take_along_axis(I_fin, last, axis=0)[0]
     cand = jnp.stack([Dl, Ml + eM2MorD, Il + eI2M])
     score = cand.max(axis=0)
     kind0 = jnp.argmax(cand, axis=0).astype(jnp.int32)   # 0=D,1=M,2=I
@@ -152,10 +158,10 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
 
     def bt_step(carry, _):
         cur_kind, cur_pos, cur_col, done = carry
-        # fetch code at (col-1, w, pos): codes are indexed by emission t =
+        # fetch code at (col-1, pos, w): codes are indexed by emission t =
         # col-1; the initial column (col==0) has fixed pointers
         t_idx = jnp.clip(cur_col - 1, 0, T - 1)
-        byte = codes[t_idx, widx, jnp.clip(cur_pos, 0, N - 1)]
+        byte = codes[t_idx, jnp.clip(cur_pos, 0, N - 1), widx]
         cI = (byte >> _I_SHIFT) & 0x3
         cM = (byte >> _M_SHIFT) & 0x7
         cD = (byte >> _D_SHIFT) & 0x1

@@ -65,7 +65,7 @@ def _bucket_up(n: int, step: int) -> int:
 
 
 def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
-                    batch_positions: int = 1 << 18):
+                    batch_positions: int = 1 << 19):
     """Run the CNN over all QC-passed reads, bucketing by padded position
     count.  Returns {read_id: (Ct,3) float32 probabilities at the read's
     centre-T positions}, in AlignedPositions order restricted to
@@ -100,12 +100,18 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
                 n = pos.coord.shape[0]
                 core[b, :n] = pos.core_idx
                 resid[b, :n] = pos.residual_idx
-                q = cnn_mod.quantise_signal_u8(pos.signal)
-                c = np.minimum(pos.n_signals, cnn_mod.RAWDEPTH).astype(np.uint8)
-                counts[b, :n] = c
-                take = (np.arange(cnn_mod.RAWDEPTH)[None, :]
-                        < c[:, None].astype(np.int64))
-                flats.append(q[take])
+                if pos.signal_u8_flat is not None:
+                    # fast path: eventalign already built the stream
+                    counts[b, :n] = pos.signal_counts
+                    flats.append(pos.signal_u8_flat)
+                else:
+                    q = cnn_mod.quantise_signal_u8(pos.signal)
+                    c = np.minimum(pos.n_signals,
+                                   cnn_mod.RAWDEPTH).astype(np.uint8)
+                    counts[b, :n] = c
+                    take = (np.arange(cnn_mod.RAWDEPTH)[None, :]
+                            < c[:, None].astype(np.int64))
+                    flats.append(q[take])
                 tpos = np.flatnonzero(pos.center_is_T).astype(np.int32)
                 t_idx_parts.append(b * L + tpos)
                 t_spans.append(tpos.shape[0])
@@ -163,40 +169,48 @@ def collect_calls(rec: ReadRecord, pos: AlignedPositions,
 def detect_reads(records: Iterable[ReadRecord], models: PoreModelSet,
                  model=None, params=None, cfg: SubstrateConfig = DNA_R10,
                  batch_size: int = 32, stats: Optional[DetectStats] = None,
-                 collect_failures: bool = False, strict_windows: bool = False):
-    """Generator over DetectedRead results, processing in read batches."""
+                 collect_failures: bool = False, strict_windows: bool = False,
+                 pipeline_depth: int = 2):
+    """Generator over DetectedRead results, processing in read batches.
+
+    Batches are software-pipelined ``pipeline_depth`` deep across worker
+    threads: the per-batch stage chain (prep -> eventalign -> CNN) has three
+    unavoidable host<->device sync points, and on a high-latency tunnel
+    (~50 ms per round trip) overlapping batch k's device waits with batch
+    k±1's host numpy hides most of both.  Output order is preserved (results
+    are consumed in batch submission order), matching the reference's
+    buffered OpenMP loop + ordered writer (detect.cpp:852-906).
+    """
     if model is None:
         model = cnn_mod.create_model()
     if params is None:
         params = cnn_mod.default_params(model)
-    batch: list[ReadRecord] = []
 
-    def flush(batch):
+    def process(batch):
         prepped = prepare_reads(batch, models, cfg)
         results = run_eventalign(prepped, models, cfg, collect_text=False,
                                  strict=strict_windows)
         probs_by_read = run_cnn_batched(model, params, results, prepped)
+        out = []
         for p in prepped:
             rid = p.record.read_id
             res = results.get(rid)
             if (res is None or not res.qc_passed or res.positions is None
                     or rid not in probs_by_read):
-                if stats is not None:
-                    stats.failed += 1
-                    stats.processed += 1
-                if collect_failures:
-                    yield rid, None
+                out.append((rid, None))
                 continue
-            if stats is not None:
-                stats.processed += 1
-            yield rid, collect_calls(p.record, res.positions, probs_by_read[rid])
+            out.append((rid, collect_calls(p.record, res.positions,
+                                           probs_by_read[rid])))
+        return out
 
-    # prefetch the next record batch (signal IO / pod5 decompress) on a
-    # thread while the current batch runs on device
+    # prefetch record batches (signal IO / pod5 decompress) on a thread
+    # while earlier batches run
     import threading
     import queue
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
-    q: "queue.Queue" = queue.Queue(maxsize=1)
+    q: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
 
     def producer():
         cur: list[ReadRecord] = []
@@ -214,12 +228,32 @@ def detect_reads(records: Iterable[ReadRecord], models: PoreModelSet,
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        batch = q.get()
-        if batch is None:
-            break
-        if isinstance(batch, BaseException):
-            t.join()
-            raise batch
-        yield from flush(batch)
+
+    def drain(fut):
+        for rid, d in fut.result():
+            if d is None:
+                if stats is not None:
+                    stats.failed += 1
+                    stats.processed += 1
+                if collect_failures:
+                    yield rid, None
+            else:
+                if stats is not None:
+                    stats.processed += 1
+                yield rid, d
+
+    with ThreadPoolExecutor(max_workers=pipeline_depth) as ex:
+        pending: deque = deque()
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            if isinstance(batch, BaseException):
+                t.join()
+                raise batch
+            pending.append(ex.submit(process, batch))
+            while len(pending) >= pipeline_depth:
+                yield from drain(pending.popleft())
+        while pending:
+            yield from drain(pending.popleft())
     t.join()

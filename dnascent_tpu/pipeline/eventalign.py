@@ -35,7 +35,13 @@ RAWDEPTH = 20  # reads.h:12
 @dataclass
 class AlignedPositions:
     """Per-read aligned-position table (the arrays behind refCoordToAP,
-    reads.h:202/292-304), in genome-walk (insertion) order."""
+    reads.h:202/292-304), in genome-walk (insertion) order.
+
+    The raw-sample windows exist in two forms: ``signal_u8_flat`` +
+    ``signal_counts`` (the transfer-ready flat u8 stream the CNN consumes,
+    built directly by the fast path) and the ``signal`` (P, RAWDEPTH) f32
+    matrix (materialised lazily from the scaled-sample store for training /
+    parity consumers)."""
 
     coord: np.ndarray        # (P,) reference coordinate of the position
     kmer_start: np.ndarray   # (P,) index into reference_seq of the 9-mer start
@@ -43,10 +49,27 @@ class AlignedPositions:
     ref_idx: np.ndarray      # (P,) event_indexRef
     core_idx: np.ndarray     # (P,) CNN core-sequence index
     residual_idx: np.ndarray  # (P,) CNN residual-sequence index
-    signal: np.ndarray       # (P, RAWDEPTH) f32, zero padded
     n_signals: np.ndarray    # (P,) total signals seen (may exceed RAWDEPTH)
     center_is_T: np.ndarray  # (P,) bool: 9-mer centre base is T
     indel_score: np.ndarray  # (P,) window indel score (quality)
+    signal_u8_flat: Optional[np.ndarray] = None  # flat u8, counts-ordered
+    signal_counts: Optional[np.ndarray] = None   # (P,) u8 = min(n_signals, 20)
+    _signal: Optional[np.ndarray] = None         # (P, RAWDEPTH) f32
+    _sig_store: Optional[tuple] = None           # (scaled, seg_start, seg_nsig)
+
+    @property
+    def signal(self) -> np.ndarray:
+        """(P, RAWDEPTH) f32 zero-padded raw-sample windows."""
+        if self._signal is None:
+            scaled, seg_start, seg_nsig = self._sig_store
+            j = np.arange(RAWDEPTH)
+            gidx = seg_start[:, None] + j[None, :]
+            valid = j[None, :] < np.minimum(seg_nsig, RAWDEPTH)[:, None]
+            self._signal = np.where(
+                valid, scaled[np.clip(gidx, 0, scaled.shape[0] - 1)],
+                0.0).astype(np.float32)
+            self._sig_store = None
+        return self._signal
 
 
 @dataclass
@@ -69,8 +92,8 @@ class _ReadState:
     # accumulators
     acc: dict = field(default_factory=lambda: {
         "coord": [], "kmer_start": [], "query_idx": [], "ref_idx": [],
-        "core": [], "res": [], "sig": [], "nsig": [], "centerT": [],
-        "indel": []})
+        "core": [], "res": [], "sig": [], "sigflat": [], "sigstore": [],
+        "nsig": [], "centerT": [], "indel": []})
     text_parts: list = field(default_factory=list)
     exhausted: bool = False
     # fast mode: the read's guarded scaled-observation stream (f16) that
@@ -237,6 +260,11 @@ def _build_all_windows(st: _ReadState, cfg: SubstrateConfig,
     guard_ok = (ev_mean[pairs[:, 0]] > dmin) & (ev_mean[pairs[:, 0]] < dmax)
     guard_cum = np.concatenate(([0], np.cumsum(guard_ok)))
     pair_q = pairs[:, 1]
+    # both lookup streams are monotone, so one vectorised searchsorted per
+    # read replaces two per window: j_at[i] = first pair with query >= r2q[i],
+    # next_bp[i] = first breakpoint position >= i
+    j_at = np.searchsorted(pair_q, r2q[: ref_len + 1], side="left")
+    next_bp = np.searchsorted(bp_pos, np.arange(m.shape[0] + total_wl + 1))
 
     # the chain of window starts is inherently sequential (each advance
     # depends on the previous window's length), but every step is now a
@@ -252,20 +280,18 @@ def _build_all_windows(st: _ReadState, cfg: SubstrateConfig,
                 ri += wl
                 continue
             limit = int(1.5 * wl - k - 1)
-            bi = int(np.searchsorted(bp_pos, ri + wl))
+            bi = next_bp[ri + wl]
             if bi < bp_pos.shape[0] and bp_pos[bi] < ri + limit:
                 wl = int(bp_pos[bi]) - ri + k
         if undef_cum[ri + wl] - undef_cum[ri]:
             ri += wl
             continue
-        lo = r2q[ri]
-        hi = r2q[ri + wl - k + 1]
-        j0 = int(np.searchsorted(pair_q, lo, side="left"))
-        j1 = int(np.searchsorted(pair_q, hi, side="left"))
+        j0 = j_at[ri]
+        j1 = j_at[ri + wl - k + 1]
         if j1 <= j0 or guard_cum[j1] - guard_cum[j0] < 2:
             ri += wl
             continue
-        metas.append((ri, wl, j0, j1))
+        metas.append((ri, wl, int(j0), int(j1)))
         ri += wl - k + 1
     if not metas:
         return []
@@ -376,6 +402,16 @@ def _process_window(w: _Window, path_code: np.ndarray, n_states_w: int,
     if update_cursor:
         st.read_head = w.first_inrange + last_m_ev + 1
         st.reference_index = ri + last_m_ref + 1
+
+
+def _merge_sig_stores(stores: list[tuple]) -> tuple:
+    """Concatenate several (scaled, seg_start, seg_nsig) stores into one
+    (offsets rebased into the merged scaled stream)."""
+    scaled = np.concatenate([s[0] for s in stores])
+    offs = np.cumsum([0] + [s[0].shape[0] for s in stores[:-1]])
+    starts = np.concatenate([s[1] + o for s, o in zip(stores, offs)])
+    nsig = np.concatenate([s[2] for s in stores])
+    return scaled, starts, nsig
 
 
 def _ranges(counts: np.ndarray) -> np.ndarray:
@@ -498,25 +534,25 @@ def _process_read_windows_batched(st: _ReadState, windows: list[_Window],
     new_seg = np.diff(key, prepend=key[0] - 1) != 0
     seg_first = np.nonzero(new_seg)[0]
 
-    # explode raw samples per M step, capped at RAWDEPTH per segment
+    # explode raw samples per M step; the CNN's flat u8 stream is built
+    # directly (first RAWDEPTH samples per segment), skipping the (P, 20)
+    # f32 matrix which is only materialised on demand (AlignedPositions.signal)
     rs, re_ = p.event_raw_start, p.event_raw_end
     counts = (re_[m_ev] - rs[m_ev] + 1).astype(np.int64)
     sample_off = np.concatenate([[0], np.cumsum(counts)])
     sample_idx = np.repeat(rs[m_ev], counts) + _ranges(counts)
     scaled = ((p.record.raw[sample_idx] - p.shift) / p.scale
               ).astype(np.float32)
-    seg_id = np.cumsum(new_seg) - 1
-    n_seg = seg_first.shape[0]
     seg_sample_start = sample_off[seg_first]
     seg_sample_end = np.append(sample_off[seg_first[1:]],
                                sample_off[-1])
     seg_nsig = seg_sample_end - seg_sample_start
-    # (n_seg, RAWDEPTH) gather with masking
-    j = np.arange(RAWDEPTH)
-    gidx = seg_sample_start[:, None] + j[None, :]
-    valid = j[None, :] < np.minimum(seg_nsig, RAWDEPTH)[:, None]
-    sig = np.where(valid, scaled[np.clip(gidx, 0, scaled.shape[0] - 1)],
-                   0.0).astype(np.float32)
+    from ..models.cnn import (RAWDEPTH as RD, SIG_QUANT_LO, SIG_QUANT_SCALE)
+    lens = np.minimum(seg_nsig, RD)
+    fidx = np.repeat(seg_sample_start, lens) + _ranges(lens)
+    taken = scaled[fidx]
+    sig_flat = np.clip(np.rint((taken - SIG_QUANT_LO) * SIG_QUANT_SCALE)
+                       + 1.0, 1.0, 255.0).astype(np.uint8)
 
     acc = st.acc
     acc["coord"].append(coords[seg_first])
@@ -525,7 +561,8 @@ def _process_read_windows_batched(st: _ReadState, windows: list[_Window],
     acc["ref_idx"].append(ref_idx[seg_first])
     acc["core"].append(st.core_rank[kmer_start[seg_first]])
     acc["res"].append(st.res_rank[kmer_start[seg_first]])
-    acc["sig"].append(sig)
+    acc["sigflat"].append(sig_flat)
+    acc["sigstore"].append((scaled, seg_sample_start, seg_nsig))
     acc["nsig"].append(seg_nsig)
     acc["centerT"].append(st.ref_codes[kmer_start[seg_first] + k // 2] == 1)
     acc["indel"].append(indel_arr[m_win[seg_first]])
@@ -672,7 +709,7 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                    cfg: SubstrateConfig = DNA_R10, collect_text: bool = False,
                    calls_per_read: Optional[dict] = None,
                    n_state_pad: int = 72, strict: bool = False,
-                   max_windows_per_batch: int = 4096
+                   max_windows_per_batch: int = 8192
                    ) -> dict[str, EventalignResult]:
     """Drive eventalign for a batch of prepared reads.
 
@@ -820,6 +857,21 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
             return np.concatenate([np.atleast_1d(np.asarray(x, dtype))
                                    for x in xs])
 
+        n_signals = cat(acc["nsig"], np.int64)
+        if acc["sigflat"]:
+            # fast path: transfer-ready flat u8 stream + lazy f32 matrix;
+            # a read's windows are processed in one batched call, so the
+            # store holds exactly one (scaled, starts, nsig) tuple
+            sig_kw = dict(
+                signal_u8_flat=np.concatenate(acc["sigflat"]),
+                signal_counts=np.minimum(n_signals, RAWDEPTH
+                                         ).astype(np.uint8),
+                _sig_store=(acc["sigstore"][0] if len(acc["sigstore"]) == 1
+                            else _merge_sig_stores(acc["sigstore"])))
+        else:
+            sig_kw = dict(_signal=np.concatenate(
+                [np.atleast_2d(np.asarray(s, np.float32))
+                 for s in acc["sig"]]))
         pos = AlignedPositions(
             coord=cat(acc["coord"], np.int64),
             kmer_start=cat(acc["kmer_start"], np.int64),
@@ -827,11 +879,10 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
             ref_idx=cat(acc["ref_idx"], np.int64),
             core_idx=cat(acc["core"], np.int64),
             residual_idx=cat(acc["res"], np.int64),
-            signal=np.concatenate(
-                [np.atleast_2d(np.asarray(s, np.float32)) for s in acc["sig"]]),
-            n_signals=cat(acc["nsig"], np.int64),
+            n_signals=n_signals,
             center_is_T=cat(acc["centerT"], bool),
             indel_score=cat(acc["indel"], np.int64),
+            **sig_kw,
         )
         header = (f">{rid} {st.p.record.contig} {st.p.record.ref_start} "
                   f"{st.p.record.ref_end} {st.p.record.strand}\n")

@@ -85,6 +85,7 @@ def profile_eventalign(prepped, models, cfg, tag):
         def cat(xs, dtype):
             return np.concatenate([np.atleast_1d(np.asarray(x, dtype))
                                    for x in xs])
+        n_signals = cat(acc["nsig"], np.int64)
         out[rid] = ea.EventalignResult(ea.AlignedPositions(
             coord=cat(acc["coord"], np.int64),
             kmer_start=cat(acc["kmer_start"], np.int64),
@@ -92,12 +93,12 @@ def profile_eventalign(prepped, models, cfg, tag):
             ref_idx=cat(acc["ref_idx"], np.int64),
             core_idx=cat(acc["core"], np.int64),
             residual_idx=cat(acc["res"], np.int64),
-            signal=np.concatenate(
-                [np.atleast_2d(np.asarray(s, np.float32))
-                 for s in acc["sig"]]),
-            n_signals=cat(acc["nsig"], np.int64),
+            n_signals=n_signals,
             center_is_T=cat(acc["centerT"], bool),
             indel_score=cat(acc["indel"], np.int64),
+            signal_u8_flat=np.concatenate(acc["sigflat"]),
+            signal_counts=np.minimum(n_signals, 20).astype(np.uint8),
+            _sig_store=ea._merge_sig_stores(acc["sigstore"]),
         ), None, True)
     return out
 
