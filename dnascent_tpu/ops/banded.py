@@ -232,8 +232,8 @@ def backtrace_moves_device(trace_packed: jnp.ndarray,   # (n_steps, B, W) u8
     L = n_steps * 4 + 4
     bidx = jnp.arange(B, dtype=jnp.int32)
 
-    def body(i, state):
-        e, k, done, buf = state
+    def body(state, _):
+        e, k, done = state
         band = e + k + 2
         srow = jnp.clip((band - 2) // 4, 0, n_steps - 1)
         bit = ((band - 2) % 4) * 2
@@ -251,14 +251,15 @@ def backtrace_moves_device(trace_packed: jnp.ndarray,   # (n_steps, B, W) u8
         k = k - jnp.where(is_d | is_l, 1, 0)
         out_code = jnp.where(active, code, MOVE_PAD).astype(jnp.uint8)
         done = done | (e < 0) | (k < 0)
-        buf = jax.lax.dynamic_update_slice(buf, out_code[None, :], (i, 0))
-        return e, k, done, buf
+        return (e, k, done), out_code
 
     e0 = best_event.astype(jnp.int32)
     k0 = n_kmers.astype(jnp.int32) - 1
     done0 = (e0 < 0) | (k0 < 0)
-    buf0 = jnp.full((L, B), MOVE_PAD, dtype=jnp.uint8)
-    _, _, _, buf = jax.lax.fori_loop(0, L, body, (e0, k0, done0, buf0))
+    # scan (emitting rows) instead of fori_loop + dynamic_update_slice, and
+    # unrolled: the chase is ~n_bands (tens of thousands) tiny sequential
+    # steps, so per-step dispatch overhead dominates without unrolling
+    _, buf = jax.lax.scan(body, (e0, k0, done0), None, length=L, unroll=1)
     # pack 4 moves per byte for the transfer
     Lp = (L + 3) // 4 * 4
     buf = jnp.pad(buf, ((0, Lp - L), (0, 0)), constant_values=MOVE_PAD)

@@ -660,9 +660,13 @@ def _viterbi_windows_dispatch_flat(windows: list[_Window], obs_flat_dev,
     device arrays; the chunk ships only three i32 vectors (starts, lengths,
     state counts) plus per-read scalars."""
     n = len(windows)
+    # W buckets: powers of two to 2048, then multiples of 2048 (pow2 padding
+    # wastes up to half the compute at large chunk sizes)
     W = 8
-    while W < n:
+    while W < n and W < 2048:
         W *= 2
+    if n > 2048:
+        W = -(-n // 2048) * 2048
     lens = np.fromiter((w.obs_scaled.shape[0] for w in windows), np.int64, n)
     T = next(b for b in t_buckets if b >= int(lens.max()))
     n_obs = np.zeros(W, dtype=np.int32)
@@ -733,9 +737,9 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
             continue
         states.append(_build_state(p, models, cfg))
 
-    # two observation buckets only: every distinct (W, T) shape costs a
-    # kernel compile (minutes through remote-compile tunnels)
-    t_buckets = (256, 1024)
+    # T buckets trade scan-length padding against kernel compiles (each
+    # distinct (W, T) pair compiles once into the persistent cache)
+    t_buckets = (128, 256, 512, 1024)
     t_cap = t_buckets[-1]
 
     def get_calls(w):
@@ -816,21 +820,25 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                 obs_start_all[i] = st.flat_obs_base + w.flat_local
                 rank_start_all[i] = st.rank_off + w.ref_index
 
-        # batch by T bucket to keep padding tight, preserving per-read order
-        # during processing
+        # group by T bucket so the scan length matches the windows (most
+        # windows are ~half the smallest power-of-two bucket), then chunk;
+        # per-read order is restored during processing
         results: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        order = sorted(range(len(all_windows)),
-                       key=lambda i: all_windows[i].obs_scaled.shape[0])
+        wlens = np.fromiter((w.obs_scaled.shape[0] for w in all_windows),
+                            np.int64, len(all_windows))
+        wbucket = np.searchsorted(np.asarray(t_buckets), wlens, side="left")
         # dispatch every chunk before collecting any: the device queue
         # overlaps chunk k's execution with chunk k+1's host batch build
         handles = []
-        for c0 in range(0, len(order), max_windows_per_batch):
-            chunk_ids = order[c0 : c0 + max_windows_per_batch]
-            chunk = [all_windows[i] for i in chunk_ids]
-            handles.append((chunk_ids, _viterbi_windows_dispatch_flat(
-                chunk, obs_flat_dev, ranks_flat_dev,
-                obs_start_all[chunk_ids], rank_start_all[chunk_ids],
-                models, cfg, hmm_probs, n_state_pad, t_buckets)))
+        for bi in range(len(t_buckets)):
+            order = np.flatnonzero(wbucket == bi)
+            for c0 in range(0, order.shape[0], max_windows_per_batch):
+                chunk_ids = order[c0 : c0 + max_windows_per_batch]
+                chunk = [all_windows[i] for i in chunk_ids]
+                handles.append((chunk_ids, _viterbi_windows_dispatch_flat(
+                    chunk, obs_flat_dev, ranks_flat_dev,
+                    obs_start_all[chunk_ids], rank_start_all[chunk_ids],
+                    models, cfg, hmm_probs, n_state_pad, t_buckets)))
         for chunk_ids, h in handles:
             for wid, res in zip(chunk_ids, _viterbi_windows_collect(h)):
                 results[wid] = res
