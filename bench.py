@@ -49,12 +49,13 @@ def main():
     records = list(src)
     # two batches pipelined two deep: the stage chain's device round trips
     # of one batch hide under the other's host numpy (2-core host)
-    batch_size = min(32, N_READS)
+    batch_size = int(os.environ.get("BENCH_BATCH", str(min(32, N_READS))))
+    depth = int(os.environ.get("BENCH_DEPTH", "2"))
 
     # warmup with the *same* shapes as the measured run so every kernel
     # bucket is compiled (and lands in the persistent cache) before timing
     for _ in detect_reads(records, models, model, params, cfg,
-                          batch_size=batch_size):
+                          batch_size=batch_size, pipeline_depth=depth):
         pass
 
     # best of 3: the tunnel to the chip suffers multi-second stalls
@@ -65,7 +66,8 @@ def main():
         t0 = time.perf_counter()
         n_out = 0
         for _rid, _d in detect_reads(records, models, model, params, cfg,
-                                     batch_size=batch_size, stats=stats):
+                                     batch_size=batch_size, stats=stats,
+                                     pipeline_depth=depth):
             n_out += 1
         dt = time.perf_counter() - t0
         reads_per_s = max(reads_per_s, stats.processed / dt)

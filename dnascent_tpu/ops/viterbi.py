@@ -21,10 +21,18 @@ kind 3 marks padding in the emitted paths.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# scan unroll factors: both the fill scan (T steps of (N, W) math) and the
+# backtrace scan (T+N steps of (W,) gathers) run thousands of tiny sequential
+# steps, so per-step loop overhead is a real cost on TPU; unrolling trades
+# compile time for it.  Env-tunable for experiments.
+_FILL_UNROLL = int(os.environ.get("DNASCENT_VIT_FILL_UNROLL", "1"))
+_BT_UNROLL = int(os.environ.get("DNASCENT_VIT_BT_UNROLL", "1"))
 
 NEG = jnp.float32(-jnp.inf)
 KIND_D, KIND_M, KIND_I, KIND_PAD = 0, 1, 2, 3
@@ -136,7 +144,8 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
         return (I_curr, M_curr, D_curr), code
 
     (I_fin, M_fin, D_fin), codes = jax.lax.scan(
-        step, (I0, M0, D0), jnp.arange(T, dtype=jnp.int32))
+        step, (I0, M0, D0), jnp.arange(T, dtype=jnp.int32),
+        unroll=_FILL_UNROLL)
     # codes: (T, N, W) uint8
 
     # --- termination (alignment.cpp:445-476) ---
@@ -209,7 +218,8 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
         return (cur_kind, cur_pos, cur_col, new_done), out_code
 
     (_, _, _, done), rc = jax.lax.scan(
-        bt_step, (cur_kind, cur_pos, cur_col, done), None, length=L)
+        bt_step, (cur_kind, cur_pos, cur_col, done), None, length=L,
+        unroll=_BT_UNROLL)
     # rc: (L, W) in reverse order; flip to forward order
     path_code = rc[::-1].T                               # (W, L)
     path_len = jnp.sum((path_code & 3) != KIND_PAD, axis=1).astype(jnp.int32)

@@ -126,6 +126,8 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
                 model, params, jnp.asarray(core), jnp.asarray(resid),
                 jnp.asarray(flat), jnp.asarray(counts),
                 jnp.asarray(t_index))
+            from .eventalign import _enqueue_d2h
+            _enqueue_d2h(probs_dev)
             dispatched.append((chunk, t_spans, probs_dev))
     for chunk, t_spans, probs_dev in dispatched:
         probs = np.asarray(probs_dev).astype(np.float32)

@@ -644,11 +644,25 @@ def _viterbi_windows_dispatch(windows: list[_Window], models: PoreModelSet,
             jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(rk),
             _device_model_table(models), jnp.asarray(n_states),
             jnp.asarray(epb), hmm_probs)
+    _enqueue_d2h(pc, pl)
     return pc, pl, ns_arr, len(windows)
 
 
 def _bucket_up(n: int, step: int) -> int:
     return max(step, ((n + step - 1) // step) * step)
+
+
+def _enqueue_d2h(*arrays) -> None:
+    """Start device->host copies without blocking.  On the tunnel backend
+    sequential blocking downloads each pay ~35 ms of round-trip latency;
+    async copies overlap each other and the remaining device work, so
+    enqueueing every stage output at dispatch time and gathering late
+    collapses N latencies into ~one."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            pass
 
 
 def _viterbi_windows_dispatch_flat(windows: list[_Window], obs_flat_dev,
@@ -686,6 +700,7 @@ def _viterbi_windows_dispatch_flat(windows: list[_Window], obs_flat_dev,
         obs_flat_dev, jnp.asarray(ostarts), jnp.asarray(n_obs),
         jnp.asarray(rstarts), ranks_flat_dev, _device_model_table(models),
         jnp.asarray(n_states), jnp.asarray(epb), hmm_probs, n_state_pad, T)
+    _enqueue_d2h(pc, pl)
     return pc, pl, ns_arr, n
 
 

@@ -72,6 +72,15 @@ def _bucket(value: int, step: int) -> int:
     return ((value + step - 1) // step) * step
 
 
+def _enqueue_d2h(*arrays) -> None:
+    """Non-blocking device->host copy start (see eventalign._enqueue_d2h)."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            pass
+
+
 def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
                   cfg: SubstrateConfig = DNA_R10,
                   bucket_step_events: int = 4096,
@@ -196,9 +205,13 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
         use_device_bt = jax.default_backend() != "cpu"
         if use_device_bt:
             # on-device backtrace chase: only the packed 2-bit move streams
-            # cross the interconnect (~25x less than the trace matrices)
+            # cross the interconnect (~25x less than the trace matrices);
+            # start their D2H copies now so every group's download overlaps
+            # the others' fills (sequential blocking downloads each pay the
+            # tunnel's ~35 ms round trip)
             packed_dev = banded.backtrace_moves_device(
                 tp, rp, jnp.asarray(best_e), jnp.asarray(n_km), bandwidth=bw)
+            _enqueue_d2h(packed_dev, best_e)
             dispatched.append((group, scaled, None, None, packed_dev, best_e,
                                use_device_bt))
         else:
@@ -267,6 +280,7 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             jnp.asarray(sig), jnp.asarray(mms), jnp.asarray(npts),
             jnp.asarray(passth), jnp.asarray(sh), jnp.asarray(sc),
             max_points=mp)
+        _enqueue_d2h(new_sh, new_sc)
         new_sh = np.asarray(new_sh); new_sc = np.asarray(new_sc)
         for b, p in enumerate(live2):
             p.shift, p.scale = float(new_sh[b]), float(new_sc[b])
