@@ -52,13 +52,18 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
                            n_states: jnp.ndarray,   # (W,) i32
                            events_per_base: jnp.ndarray,  # (W,) f32 (per read)
                            hmm_probs: tuple[float, float, float, float, float, float],
+                           use_pallas: bool = False,
                            ):
     """Returns (path_code (W, L) uint8, path_len (W,), score (W,)) with
     L = T + N + 2.  Each byte is ``kind | (pos_delta << 2)`` where pos_delta
     is the backward position decrement of the step — one byte per step
     instead of (kind, pos) pairs; decode with ``decode_path``.  Paths are in
     forward order occupying the LAST path_len entries of each row (leading
-    entries are KIND_PAD)."""
+    entries are KIND_PAD).
+
+    ``use_pallas`` routes the fill through the VMEM-resident Pallas kernel
+    (ops/viterbi_pallas.py) — same codes, ~50x less HBM traffic per column;
+    the termination + backtrace scan below is shared by both fills."""
     W, T = obs.shape
     N = mu.shape[1]
     # state-major (N, W) layout: W (thousands of windows) rides the 128-lane
@@ -80,6 +85,17 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
                    ).astype(jnp.float32)
     eM2MorD = jnp.logaddexp(eM2M, eM2D)
     eOrIM2M = jnp.logaddexp(eM2M, iM2M)
+
+    if use_pallas:
+        from .viterbi_pallas import viterbi_fill_codes_pallas
+        hmm_logs = (float(np.log(eD2D_f)), float(np.log(eD2M_f)),
+                    float(np.log(eI2M_f)), float(np.log(eM2D_f)),
+                    float(np.log(iM2I_f)), float(np.log(iI2I_f)))
+        codes, I_fin, M_fin, D_fin = viterbi_fill_codes_pallas(
+            obs_T, muT, invT, lpcT, n_obs.astype(jnp.int32),
+            n_states.astype(jnp.int32), iM2M, eM2M, eOrIM2M, hmm_logs)
+        return _terminate_and_backtrace(codes, I_fin, M_fin, D_fin, n_obs,
+                                        n_states, eM2MorD, eI2M, W, T, N)
 
     sidx = jnp.arange(N, dtype=jnp.int32)[:, None]       # (N, 1)
     in_range = sidx < n_states[None, :]                  # (N, W)
@@ -147,7 +163,12 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
         step, (I0, M0, D0), jnp.arange(T, dtype=jnp.int32),
         unroll=_FILL_UNROLL)
     # codes: (T, N, W) uint8
+    return _terminate_and_backtrace(codes, I_fin, M_fin, D_fin, n_obs,
+                                    n_states, eM2MorD, eI2M, W, T, N)
 
+
+def _terminate_and_backtrace(codes, I_fin, M_fin, D_fin, n_obs, n_states,
+                             eM2MorD, eI2M, W, T, N):
     # --- termination (alignment.cpp:445-476) ---
     last = jnp.clip(n_states - 1, 0, N - 1)[None, :]
     Dl = jnp.take_along_axis(D_fin, last, axis=0)[0]
@@ -295,6 +316,15 @@ def viterbi_from_flat_jit(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
     return pack_path_codes(pc), pl, score
 
 
+def _pallas_fill_default() -> bool:
+    """Route the fill through the Pallas kernel on accelerators (trace-time
+    decision; CPU keeps the XLA scan, which interpret-free Pallas can't
+    serve).  DNASCENT_VIT_PALLAS=0 forces the XLA scan everywhere."""
+    if os.environ.get("DNASCENT_VIT_PALLAS", "1") == "0":
+        return False
+    return jax.default_backend() != "cpu"
+
+
 def viterbi_from_ranks_core(obs, n_obs, ranks, model_table, n_states,
                             events_per_base, hmm_probs):
     obs = obs.astype(jnp.float32)
@@ -305,7 +335,8 @@ def viterbi_from_ranks_core(obs, n_obs, ranks, model_table, n_states,
     lp_const = jnp.float32(np.log(0.3989422804014327)) - jnp.log(sigma)
     lp_const = jnp.where(ranks < 0, NEG, lp_const)
     return viterbi_fill_backtrace(obs, n_obs, mu, inv_sigma, lp_const,
-                                  n_states, events_per_base, hmm_probs)
+                                  n_states, events_per_base, hmm_probs,
+                                  use_pallas=_pallas_fill_default())
 
 
 @functools.partial(jax.jit, static_argnames=("hmm_probs",))
