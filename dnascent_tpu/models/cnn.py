@@ -179,6 +179,43 @@ def apply_model_flat_f16(model: DetectCNN, params, core_idx, residual_idx,
     return probs.reshape(B * L, -1)[t_index].astype(jnp.float16)
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def apply_model_from_flat_ranks_f16(model: DetectCNN, params, ks_base,
+                                    ks_delta_u16, flat_off, n_pos, flat_ranks,
+                                    flat_sig_u8, counts_u8, t_index):
+    """Most transfer-lean forward: the two sequence-index planes are derived
+    on device from the batch's resident flat k-mer-rank array (uploaded once
+    by prep as u8 codes), so the call ships only per-position kmer-start
+    deltas (u16) plus the flat signal stream.
+
+    ``ks_base``/``ks_delta_u16``: per-row first kmer_start and non-negative
+    position-to-position increments (cumsum reconstructs kmer_start);
+    ``flat_off``: per-row offset of the read's ranks in ``flat_ranks``;
+    ``n_pos``: per-row valid position count (padding gets index 0, the
+    embedding tables' padding row).
+    """
+    from ..ops.seqcodes import (core_index_from_ranks,
+                                residual_index_from_ranks)
+    B, L = ks_delta_u16.shape
+    ks = ks_base[:, None] + jnp.cumsum(ks_delta_u16.astype(jnp.int32), axis=1)
+    in_pos = jnp.arange(L, dtype=jnp.int32)[None, :] < n_pos[:, None]
+    gidx = jnp.clip(flat_off[:, None] + ks, 0, flat_ranks.shape[0] - 1)
+    rank = flat_ranks[gidx]
+    core_idx = jnp.where(in_pos, core_index_from_ranks(rank), 0)
+    residual_idx = jnp.where(in_pos, residual_index_from_ranks(rank), 0)
+    counts = counts_u8.astype(jnp.int32).reshape(B * L)
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    j = jnp.arange(RAWDEPTH, dtype=jnp.int32)
+    idx = offs[:, None] + j[None, :]
+    valid = j[None, :] < counts[:, None]
+    flat = flat_sig_u8.astype(jnp.int32)
+    sig_q = jnp.where(valid, flat[jnp.clip(idx, 0, flat.shape[0] - 1)], 0)
+    sig = sig_q.astype(jnp.uint8).reshape(B, L, RAWDEPTH)
+    probs = model.apply(params, core_idx, residual_idx, sig)
+    return probs.reshape(B * L, -1)[t_index].astype(jnp.float16)
+
+
 # ---------------------------------------------------------------------------
 # Parameter persistence (npz; orbax used for training checkpoints elsewhere)
 # ---------------------------------------------------------------------------

@@ -333,11 +333,20 @@ def banded_fill_pallas_jit(scaled_events, mu, inv_sigma, lp_const, n_events,
 
 @functools.partial(jax.jit, static_argnames=("bandwidth", "epsilon_skip",
                                              "p_trim"))
-def banded_fill_pallas_from_ranks_jit(scaled_events, ranks, model_table,
+def banded_fill_pallas_from_codes_jit(scaled_events, codes, model_table,
                                       n_events, n_kmers, bandwidth=100,
                                       epsilon_skip=1e-30, p_trim=0.01):
-    """Upload-lean variant: (B,K) i32 ranks + the resident pore table replace
-    the three f32 coefficient planes; scaled events may arrive f16."""
+    """Most upload-lean variant: (B, K+k-1) u8 base codes (255 = non-ACGT)
+    replace the i32 rank plane — 4x fewer bytes over the tunnel; ranks are
+    recomputed on device (ops/seqcodes.py)."""
+    from .seqcodes import ranks_from_codes
+    ranks = ranks_from_codes(codes)
+    return _fill_from_ranks(scaled_events, ranks, model_table, n_events,
+                            n_kmers, bandwidth, epsilon_skip, p_trim)
+
+
+def _fill_from_ranks(scaled_events, ranks, model_table, n_events, n_kmers,
+                     bandwidth, epsilon_skip, p_trim):
     scaled_events = scaled_events.astype(jnp.float32)
     safe = jnp.clip(ranks, 0, model_table.shape[0] - 1)
     mu = model_table[safe, 0]
@@ -348,3 +357,14 @@ def banded_fill_pallas_from_ranks_jit(scaled_events, ranks, model_table,
     return banded_fill_pallas(scaled_events, mu, inv_sigma, lp_const,
                               n_events, n_kmers, bandwidth, epsilon_skip,
                               p_trim)
+
+
+@functools.partial(jax.jit, static_argnames=("bandwidth", "epsilon_skip",
+                                             "p_trim"))
+def banded_fill_pallas_from_ranks_jit(scaled_events, ranks, model_table,
+                                      n_events, n_kmers, bandwidth=100,
+                                      epsilon_skip=1e-30, p_trim=0.01):
+    """Upload-lean variant: (B,K) i32 ranks + the resident pore table replace
+    the three f32 coefficient planes; scaled events may arrive f16."""
+    return _fill_from_ranks(scaled_events, ranks, model_table, n_events,
+                            n_kmers, bandwidth, epsilon_skip, p_trim)

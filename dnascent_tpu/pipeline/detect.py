@@ -83,6 +83,10 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
     buckets: dict[int, list] = {}
     for p, pos in jobs:
         buckets.setdefault(_bucket_len(pos.coord.shape[0]), []).append((p, pos))
+    # rank-derived path: when every read in a chunk shares prep's resident
+    # flat rank array and its kmer_start increments fit u16, the two i16
+    # sequence-index planes are replaced by one u16 delta plane (half the
+    # bytes) and derived on device
     dispatched = []
     for L, group in sorted(buckets.items()):
         # batch size bounded so padded tensors stay modest
@@ -90,16 +94,29 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
         for i in range(0, len(group), bs):
             chunk = group[i : i + bs]
             B = len(chunk)
-            core = np.zeros((B, L), dtype=np.int16)
-            resid = np.zeros((B, L), dtype=np.int16)
+            shared_flat = chunk[0][0].flat_ranks_device
+            use_ranks = shared_flat is not None and all(
+                p.flat_ranks_device is shared_flat for p, _ in chunk)
             counts = np.zeros((B, L), dtype=np.uint8)
+            ks_base = np.zeros(B, dtype=np.int32)
+            ks_delta = np.zeros((B, L), dtype=np.uint16)
+            flat_off = np.zeros(B, dtype=np.int32)
+            n_pos = np.zeros(B, dtype=np.int32)
+            core = resid = None
             flats = []
             t_idx_parts = []
             t_spans = []
             for b, (p, pos) in enumerate(chunk):
                 n = pos.coord.shape[0]
-                core[b, :n] = pos.core_idx
-                resid[b, :n] = pos.residual_idx
+                if use_ranks:
+                    d = np.diff(pos.kmer_start, prepend=pos.kmer_start[:1])
+                    if d.min() < 0 or d.max() >= (1 << 16):
+                        use_ranks = False
+                    else:
+                        ks_base[b] = pos.kmer_start[0]
+                        ks_delta[b, :n] = d
+                        flat_off[b] = p.flat_ranks_offset
+                        n_pos[b] = n
                 if pos.signal_u8_flat is not None:
                     # fast path: eventalign already built the stream
                     counts[b, :n] = pos.signal_counts
@@ -115,6 +132,13 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
                 tpos = np.flatnonzero(pos.center_is_T).astype(np.int32)
                 t_idx_parts.append(b * L + tpos)
                 t_spans.append(tpos.shape[0])
+            if not use_ranks:
+                core = np.zeros((B, L), dtype=np.int16)
+                resid = np.zeros((B, L), dtype=np.int16)
+                for b, (p, pos) in enumerate(chunk):
+                    n = pos.coord.shape[0]
+                    core[b, :n] = pos.core_idx
+                    resid[b, :n] = pos.residual_idx
             flat = np.concatenate(flats) if flats else np.zeros(0, np.uint8)
             flat = np.pad(flat, (0, _bucket_up(flat.shape[0], 1 << 20)
                                  - flat.shape[0]))
@@ -122,10 +146,17 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
                        else np.zeros(0, np.int32))
             nt = t_index.shape[0]
             t_index = np.pad(t_index, (0, _bucket_up(nt, 1 << 14) - nt))
-            probs_dev = cnn_mod.apply_model_flat_f16(
-                model, params, jnp.asarray(core), jnp.asarray(resid),
-                jnp.asarray(flat), jnp.asarray(counts),
-                jnp.asarray(t_index))
+            if use_ranks:
+                probs_dev = cnn_mod.apply_model_from_flat_ranks_f16(
+                    model, params, jnp.asarray(ks_base),
+                    jnp.asarray(ks_delta), jnp.asarray(flat_off),
+                    jnp.asarray(n_pos), shared_flat, jnp.asarray(flat),
+                    jnp.asarray(counts), jnp.asarray(t_index))
+            else:
+                probs_dev = cnn_mod.apply_model_flat_f16(
+                    model, params, jnp.asarray(core), jnp.asarray(resid),
+                    jnp.asarray(flat), jnp.asarray(counts),
+                    jnp.asarray(t_index))
             from .eventalign import _enqueue_d2h
             _enqueue_d2h(probs_dev)
             dispatched.append((chunk, t_spans, probs_dev))

@@ -173,28 +173,37 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
     for (E, K), group in split_groups:
         B = len(group)
         scaled = np.zeros((B, E), dtype=np.float32)
-        ranks = np.full((B, K), -1, dtype=np.int32)
         n_ev = np.zeros(B, dtype=np.int32)
         n_km = np.zeros(B, dtype=np.int32)
         for b, p in enumerate(group):
             ne, nk = p.n_events, p.n_kmers
             scaled[b, :ne] = (p.event_mean - p.shift) / p.scale
-            # N-containing kmers take the A-substituted rank like the
-            # reference's defaulting map (data_IO.cpp:131); -1 never occurs
-            # because kmer_ranks already encodes N-as-A via the safe path
-            ranks[b, :nk] = np.where(p.kmer_ranks_query < 0, 0,
-                                     p.kmer_ranks_query)
             n_ev[b], n_km[b] = ne, nk
         use_pallas = fill_backend(B, E, K) is not banded.banded_fill_jit
         if use_pallas:
-            from ..ops.banded_pallas import banded_fill_pallas_from_ranks_jit
-            tp, rp, best_e, _ = banded_fill_pallas_from_ranks_jit(
-                jnp.asarray(scaled.astype(np.float16)), jnp.asarray(ranks),
+            # ship u8 base codes (255 = non-ACGT), not i32 ranks: 4x fewer
+            # bytes over the tunnel; ranks are rebuilt on device and
+            # N-containing kmers default to rank 0 exactly like the host's
+            # where(rank < 0, 0, rank) (data_IO.cpp:131)
+            from ..ops.banded_pallas import banded_fill_pallas_from_codes_jit
+            from ..utils.seqtools import encode_bases
+            codes = np.zeros((B, K + k - 1), dtype=np.uint8)
+            for b, p in enumerate(group):
+                bc = encode_bases(p.record.basecall).astype(np.uint8)
+                codes[b, : bc.shape[0]] = bc
+            tp, rp, best_e, _ = banded_fill_pallas_from_codes_jit(
+                jnp.asarray(scaled.astype(np.float16)), jnp.asarray(codes),
                 _device_model_table(models), jnp.asarray(n_ev),
                 jnp.asarray(n_km), bandwidth=bw,
                 epsilon_skip=cfg.banded.epsilon_skip,
                 p_trim=cfg.banded.p_trim)
         else:
+            ranks = np.full((B, K), -1, dtype=np.int32)
+            for b, p in enumerate(group):
+                # N-containing kmers take the A-substituted rank like the
+                # reference's defaulting map (data_IO.cpp:131)
+                ranks[b, : p.n_kmers] = np.where(p.kmer_ranks_query < 0, 0,
+                                                 p.kmer_ranks_query)
             mu0, inv0, lpc0 = banded.prepare_emission_coefficients(
                 ranks, models.pore_model)
             tp, rp, best_e, _ = banded.banded_fill_jit(
@@ -291,25 +300,31 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             # (event_handling.cpp:606)
             p.events_per_base = p.et_n / max(1, len(p.record.basecall) - cfg.kmer_len)
 
-    # upload the batch's reference ranks once as one flat device array so
-    # eventalign window batches only ship start offsets
+    # upload the batch's reference sequences once as one flat u8 code stream
+    # and rebuild the flat i32 rank array on device (4x fewer bytes over the
+    # tunnel than uploading ranks); eventalign window batches then only ship
+    # start offsets.  Each read's segment carries its k-1 trailing bases, so
+    # ranks at offsets [off, off + n_kmers) are exact; the k-1 spill ranks at
+    # each segment tail are garbage no consumer addresses (windows clamp to
+    # n_states <= n_kmers - ref_index).
     passed = [p for p in prepped if p.passed]
     if passed and jax.default_backend() != "cpu":
+        from ..ops.seqcodes import flat_ranks_from_codes_jit
+        from ..utils.seqtools import encode_bases
         chunks = []
         off = 0
         for p in passed:
-            safe = np.where(p.kmer_ranks_ref < 0, 0,
-                            p.kmer_ranks_ref).astype(np.int32)
+            codes = encode_bases(p.record.reference_seq).astype(np.uint8)
             p.flat_ranks_offset = off
-            chunks.append(safe)
-            off += safe.shape[0]
+            chunks.append(codes)
+            off += codes.shape[0]
         # length padded to a coarse bucket so batch-size changes do not
         # recompile kernels that trace the flat array's shape
         cat = np.concatenate(chunks)
         padded = np.zeros(max(1 << 16, -(-cat.shape[0] // (1 << 16)) << 16),
-                          dtype=np.int32)
+                          dtype=np.uint8)
         padded[: cat.shape[0]] = cat
-        flat = jnp.asarray(padded)
+        flat = flat_ranks_from_codes_jit(jnp.asarray(padded))
         for p in passed:
             p.flat_ranks_device = flat
     return prepped
