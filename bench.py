@@ -47,10 +47,11 @@ def main():
     src = SimulatedSource(models, cfg, n_reads=N_READS, length=READ_LEN,
                           seed=1234)
     records = list(src)
-    # two batches pipelined two deep: the stage chain's device round trips
-    # of one batch hide under the other's host numpy (2-core host)
-    batch_size = int(os.environ.get("BENCH_BATCH", str(min(32, N_READS))))
-    depth = int(os.environ.get("BENCH_DEPTH", "2"))
+    # small batches pipelined deep: the per-batch chain is transfer-bound on
+    # the tunnel, so finer batches overlap uploads/downloads/host numpy of
+    # neighbouring batches better than big ones (measured optimum 16/4)
+    batch_size = int(os.environ.get("BENCH_BATCH", str(min(16, N_READS))))
+    depth = int(os.environ.get("BENCH_DEPTH", "4"))
 
     # warmup with the *same* shapes as the measured run so every kernel
     # bucket is compiled (and lands in the persistent cache) before timing
