@@ -186,7 +186,9 @@ def apply_model_from_flat_ranks_f16(model: DetectCNN, params, ks_base,
     """Most transfer-lean forward: the two sequence-index planes are derived
     on device from the batch's resident flat k-mer-rank array (uploaded once
     by prep as u8 codes), so the call ships only per-position kmer-start
-    deltas (u16) plus the flat signal stream.
+    deltas (u16) plus the flat signal stream.  (Deriving ``t_index`` on
+    device via jnp.nonzero was tried and measured ~10% slower end-to-end —
+    the compaction costs more than the 4-byte-per-T-position upload saves.)
 
     ``ks_base``/``ks_delta_u16``: per-row first kmer_start and non-negative
     position-to-position increments (cumsum reconstructs kmer_start);

@@ -59,6 +59,17 @@ def _load():
             f64p, f32p, f32p, f32p, f32p, i64p, i64p, i64,
             i64p, i64, f64p, i64p, f64p,
         ]
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.process_read_windows.restype = i64
+        lib.process_read_windows.argtypes = [
+            u8p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
+            i64, i64, i64,
+            i64p, i64p, f64p, ctypes.c_double, ctypes.c_double,
+            i64p, i64p, i64p, i8p,
+            ctypes.c_float, ctypes.c_float, i64,
+            i64p, i64p, i64p, i64p, i64p, i64p, i64p, u8p, i64p,
+            u8p, i64p, f32p, i64, i64p, i64p,
+        ]
         lib.seebreaks_simulation.restype = None
         lib.seebreaks_simulation.argtypes = [
             i64p, i64p, i64, i64p, i64, i64, i64, u32, i64, i64, f64p,
@@ -145,3 +156,62 @@ def banded_backtrace(trace: np.ndarray, rights: np.ndarray, n_bands: int,
     return (pairs[: 2 * m].reshape(-1, 2).copy(), cs[:n_cleaned].copy(),
             cr[:n_cleaned].copy(), float(stats[0]), bool(stats[1]),
             int(stats[2]))
+
+
+def process_read_windows(codes, steps_per, ns_per, ev_ids, ev_counts,
+                         ri_arr, rc_arr, indel_arr, is_reverse, k,
+                         ev_raw_start, ev_raw_end, raw, shift, scale,
+                         ref_to_query, core_rank, res_rank, ref_codes,
+                         quant_lo, quant_scale, rawdepth):
+    """Native fast-mode window post-processing for one read (the C++ twin of
+    eventalign._process_read_windows_batched).  Returns the acc-style tuple
+    (coord, kmer_start, query_idx, ref_idx, core, res, nsig, centerT, indel,
+    sig_flat, (scaled_stream, seg_start, nsig))."""
+    lib = get_lib()
+    total_steps = int(steps_per.sum())
+    ev_all = np.ascontiguousarray(ev_ids, dtype=np.int64)
+    counts_all = (ev_raw_end[ev_all] - ev_raw_start[ev_all] + 1)
+    max_samples = int(counts_all.sum()) if ev_all.size else 0
+    P_max = max(total_steps, 1)
+    coord = np.empty(P_max, np.int64)
+    kmer_start = np.empty(P_max, np.int64)
+    query_idx = np.empty(P_max, np.int64)
+    ref_idx = np.empty(P_max, np.int64)
+    core = np.empty(P_max, np.int64)
+    res = np.empty(P_max, np.int64)
+    nsig = np.empty(P_max, np.int64)
+    centerT = np.empty(P_max, np.uint8)
+    indel_out = np.empty(P_max, np.int64)
+    sig_flat = np.empty(max(min(P_max * rawdepth, max_samples), 1), np.uint8)
+    scaled_stream = np.empty(max(max_samples, 1), np.float32)
+    seg_start = np.empty(P_max, np.int64)
+    fl = np.zeros(1, np.int64)
+    nsamp = np.zeros(1, np.int64)
+    P = lib.process_read_windows(
+        np.ascontiguousarray(codes, np.uint8),
+        np.ascontiguousarray(steps_per, np.int64),
+        np.ascontiguousarray(ns_per, np.int64),
+        ev_all,
+        np.ascontiguousarray(ev_counts, np.int64),
+        np.ascontiguousarray(ri_arr, np.int64),
+        np.ascontiguousarray(rc_arr, np.int64),
+        np.ascontiguousarray(indel_arr, np.int64),
+        int(len(steps_per)), int(bool(is_reverse)), int(k),
+        np.ascontiguousarray(ev_raw_start, np.int64),
+        np.ascontiguousarray(ev_raw_end, np.int64),
+        np.ascontiguousarray(raw, np.float64),
+        float(shift), float(scale),
+        np.ascontiguousarray(ref_to_query, np.int64),
+        np.ascontiguousarray(core_rank, np.int64),
+        np.ascontiguousarray(res_rank, np.int64),
+        np.ascontiguousarray(ref_codes, np.int8),
+        np.float32(quant_lo), np.float32(quant_scale), int(rawdepth),
+        coord, kmer_start, query_idx, ref_idx, core, res, nsig, centerT,
+        indel_out, sig_flat, fl, scaled_stream, int(scaled_stream.shape[0]),
+        seg_start, nsamp)
+    P = int(P)
+    return (coord[:P], kmer_start[:P], query_idx[:P], ref_idx[:P],
+            core[:P], res[:P], nsig[:P], centerT[:P].astype(bool),
+            indel_out[:P], sig_flat[: int(fl[0])],
+            (scaled_stream[: int(nsamp[0])], seg_start[:P].copy(),
+             nsig[:P].copy()))

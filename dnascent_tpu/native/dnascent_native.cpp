@@ -306,4 +306,90 @@ void seebreaks_difference(double obs_mean, double obs_std, double sim_mean,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Fast-mode eventalign post-processing
+// ---------------------------------------------------------------------------
+
+// Walk every window's Viterbi path of one read and emit the per-reference-
+// position aligned rows plus the CNN's flat u8 signal stream — the native
+// twin of pipeline/eventalign._process_read_windows_batched (reference
+// semantics: alignment.cpp:654-740).  Runs with the GIL released via ctypes,
+// so pipeline threads overlap for real on a 2-core host.
+//
+// codes: concatenated per-window path codes (kind | delta<<2, forward
+// order); positions are recovered by suffix-anchoring the delta sum at
+// ns-1.  Segments group consecutive M steps at the same position (stay
+// chains); nsig counts every sample of the segment while sig_flat keeps the
+// first `rawdepth`.  Returns the number of positions written.
+int64_t process_read_windows(
+    const uint8_t* codes, const int64_t* steps_per, const int64_t* ns_per,
+    const int64_t* ev_ids, const int64_t* ev_counts,
+    const int64_t* ri_arr, const int64_t* rc_arr, const int64_t* indel_arr,
+    int64_t n_windows, int64_t is_reverse, int64_t k,
+    const int64_t* ev_raw_start, const int64_t* ev_raw_end,
+    const double* raw, double shift, double scale,
+    const int64_t* ref_to_query, const int64_t* core_rank,
+    const int64_t* res_rank, const int8_t* ref_codes,
+    float quant_lo, float quant_scale, int64_t rawdepth,
+    int64_t* coord, int64_t* kmer_start, int64_t* query_idx, int64_t* ref_idx,
+    int64_t* core, int64_t* res, int64_t* nsig, uint8_t* centerT,
+    int64_t* indel_out,
+    uint8_t* sig_flat, int64_t* sig_flat_len,
+    float* scaled_stream, int64_t max_samples, int64_t* seg_start,
+    int64_t* n_samples_out) {
+    int64_t P = 0, fl = 0, samp = 0;
+    int64_t code_off = 0, ev_off = 0;
+    const int64_t half_k = k / 2;
+    for (int64_t w = 0; w < n_windows; ++w) {
+        const int64_t S = steps_per[w];
+        const int64_t ns = ns_per[w];
+        const uint8_t* c = codes + code_off;
+        int64_t total = 0;
+        for (int64_t t = 0; t < S; ++t) total += (c[t] >> 2) & 1;
+        int64_t csum = 0;
+        int64_t ev_local = -1;
+        int64_t prev_pos = INT64_MIN;
+        for (int64_t t = 0; t < S; ++t) {
+            const uint8_t kind = c[t] & 3;
+            csum += (c[t] >> 2) & 1;
+            if (kind != 0) ++ev_local;       // non-D advances the event cursor
+            if (kind != 1) continue;         // only M steps emit positions
+            const int64_t pos = ns - 1 - (total - csum);
+            const int64_t ev = ev_ids[ev_off + ev_local];
+            const int64_t rs = ev_raw_start[ev];
+            const int64_t cnt = ev_raw_end[ev] - rs + 1;
+            if (pos != prev_pos) {
+                const int64_t ksv = ri_arr[w] + pos;
+                coord[P] = is_reverse ? rc_arr[w] - pos - 1 : rc_arr[w] + pos;
+                kmer_start[P] = ksv;
+                ref_idx[P] = ksv + half_k;
+                query_idx[P] = ref_to_query[ksv + half_k];
+                core[P] = core_rank[ksv];
+                res[P] = res_rank[ksv];
+                centerT[P] = ref_codes[ksv + half_k] == 1 ? 1 : 0;
+                indel_out[P] = indel_arr[w];
+                nsig[P] = 0;
+                seg_start[P] = samp;
+                ++P;
+                prev_pos = pos;
+            }
+            for (int64_t i = 0; i < cnt && samp < max_samples; ++i) {
+                const float v = (float)((raw[rs + i] - shift) / scale);
+                scaled_stream[samp++] = v;
+                if (nsig[P - 1] + i < rawdepth) {
+                    float q = nearbyintf((v - quant_lo) * quant_scale) + 1.0f;
+                    q = q < 1.0f ? 1.0f : (q > 255.0f ? 255.0f : q);
+                    sig_flat[fl++] = (uint8_t)q;
+                }
+            }
+            nsig[P - 1] += cnt;
+        }
+        code_off += S;
+        ev_off += ev_counts[w];
+    }
+    *sig_flat_len = fl;
+    *n_samples_out = samp;
+    return P;
+}
+
 }  // extern "C"

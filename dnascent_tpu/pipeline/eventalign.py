@@ -478,10 +478,50 @@ def _process_read_windows_batched(st: _ReadState, windows: list[_Window],
     """Vectorised fast-mode post-processing of ALL of a read's windows at
     once (no per-window Python) — produces the same AlignedPositions content
     as repeated _process_window(update_cursor=False) calls without text or
-    calls handling."""
+    calls handling.  Prefers the native C++ twin (GIL-released, so pipeline
+    threads overlap on the 2-core host); numpy fallback below is the
+    equivalence oracle."""
     p = st.p
     k = cfg.kmer_len
     if not windows:
+        return
+    from .. import native
+    if native.available():
+        from ..models.cnn import RAWDEPTH as RD, SIG_QUANT_LO, SIG_QUANT_SCALE
+        (coord, kmer_start, query_idx, ref_idx, core, res, nsig, centerT,
+         indel_out, sig_flat, sig_store) = native.process_read_windows(
+            np.concatenate([pc for pc, _ in paths]),
+            np.fromiter((pc.shape[0] for pc, _ in paths), np.int64,
+                        len(paths)),
+            np.fromiter((ns for _, ns in paths), np.int64, len(paths)),
+            (np.concatenate([w.event_ids for w in windows])
+             if windows else np.empty(0, np.int64)),
+            np.fromiter((w.event_ids.shape[0] for w in windows), np.int64,
+                        len(windows)),
+            np.fromiter((w.ref_index for w in windows), np.int64,
+                        len(windows)),
+            np.fromiter((w.reference_coord for w in windows), np.int64,
+                        len(windows)),
+            np.fromiter((w.indel_score for w in windows), np.int64,
+                        len(windows)),
+            p.record.is_reverse, k, p.event_raw_start, p.event_raw_end,
+            p.record.raw, p.shift, p.scale, p.record.ref_to_query,
+            st.core_rank, st.res_rank, st.ref_codes,
+            SIG_QUANT_LO, SIG_QUANT_SCALE, RD)
+        if coord.shape[0] == 0:
+            return
+        acc = st.acc
+        acc["coord"].append(coord)
+        acc["kmer_start"].append(kmer_start)
+        acc["query_idx"].append(query_idx)
+        acc["ref_idx"].append(ref_idx)
+        acc["core"].append(core)
+        acc["res"].append(res)
+        acc["sigflat"].append(sig_flat)
+        acc["sigstore"].append(sig_store)
+        acc["nsig"].append(nsig)
+        acc["centerT"].append(centerT)
+        acc["indel"].append(indel_out)
         return
     codes = np.concatenate([pc for pc, _ in paths])
     kinds = (codes & 3).astype(np.uint8)
