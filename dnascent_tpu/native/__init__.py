@@ -158,18 +158,20 @@ def banded_backtrace(trace: np.ndarray, rights: np.ndarray, n_bands: int,
             int(stats[2]))
 
 
-def process_read_windows(codes, steps_per, ns_per, ev_ids, ev_counts,
+def process_read_windows(codes, steps_per, ns_per, g_ev, ev_start,
                          ri_arr, rc_arr, indel_arr, is_reverse, k,
                          ev_raw_start, ev_raw_end, raw, shift, scale,
                          ref_to_query, core_rank, res_rank, ref_codes,
                          quant_lo, quant_scale, rawdepth):
     """Native fast-mode window post-processing for one read (the C++ twin of
-    eventalign._process_read_windows_batched).  Returns the acc-style tuple
-    (coord, kmer_start, query_idx, ref_idx, core, res, nsig, centerT, indel,
-    sig_flat, (scaled_stream, seg_start, nsig))."""
+    eventalign._process_read_windows_batched).  ``g_ev`` is the read's whole
+    guarded event-id stream; windows view spans starting at ``ev_start``.
+    Returns the acc-style tuple (coord, kmer_start, query_idx, ref_idx,
+    core, res, nsig, centerT, indel, sig_flat,
+    (scaled_stream, seg_start, nsig))."""
     lib = get_lib()
     total_steps = int(steps_per.sum())
-    ev_all = np.ascontiguousarray(ev_ids, dtype=np.int64)
+    ev_all = np.ascontiguousarray(g_ev, dtype=np.int64)
     counts_all = (ev_raw_end[ev_all] - ev_raw_start[ev_all] + 1)
     max_samples = int(counts_all.sum()) if ev_all.size else 0
     P_max = max(total_steps, 1)
@@ -192,7 +194,7 @@ def process_read_windows(codes, steps_per, ns_per, ev_ids, ev_counts,
         np.ascontiguousarray(steps_per, np.int64),
         np.ascontiguousarray(ns_per, np.int64),
         ev_all,
-        np.ascontiguousarray(ev_counts, np.int64),
+        np.ascontiguousarray(ev_start, np.int64),
         np.ascontiguousarray(ri_arr, np.int64),
         np.ascontiguousarray(rc_arr, np.int64),
         np.ascontiguousarray(indel_arr, np.int64),

@@ -323,7 +323,7 @@ void seebreaks_difference(double obs_mean, double obs_std, double sim_mean,
 // first `rawdepth`.  Returns the number of positions written.
 int64_t process_read_windows(
     const uint8_t* codes, const int64_t* steps_per, const int64_t* ns_per,
-    const int64_t* ev_ids, const int64_t* ev_counts,
+    const int64_t* g_ev, const int64_t* ev_start,
     const int64_t* ri_arr, const int64_t* rc_arr, const int64_t* indel_arr,
     int64_t n_windows, int64_t is_reverse, int64_t k,
     const int64_t* ev_raw_start, const int64_t* ev_raw_end,
@@ -338,7 +338,7 @@ int64_t process_read_windows(
     float* scaled_stream, int64_t max_samples, int64_t* seg_start,
     int64_t* n_samples_out) {
     int64_t P = 0, fl = 0, samp = 0;
-    int64_t code_off = 0, ev_off = 0;
+    int64_t code_off = 0;
     const int64_t half_k = k / 2;
     for (int64_t w = 0; w < n_windows; ++w) {
         const int64_t S = steps_per[w];
@@ -355,7 +355,7 @@ int64_t process_read_windows(
             if (kind != 0) ++ev_local;       // non-D advances the event cursor
             if (kind != 1) continue;         // only M steps emit positions
             const int64_t pos = ns - 1 - (total - csum);
-            const int64_t ev = ev_ids[ev_off + ev_local];
+            const int64_t ev = g_ev[ev_start[w] + ev_local];
             const int64_t rs = ev_raw_start[ev];
             const int64_t cnt = ev_raw_end[ev] - rs + 1;
             if (pos != prev_pos) {
@@ -385,7 +385,6 @@ int64_t process_read_windows(
             nsig[P - 1] += cnt;
         }
         code_off += S;
-        ev_off += ev_counts[w];
     }
     *sig_flat_len = fl;
     *n_samples_out = samp;

@@ -220,9 +220,24 @@ def _next_window(st: _ReadState, cfg: SubstrateConfig,
     return None
 
 
-def _build_all_windows(st: _ReadState, cfg: SubstrateConfig,
-                       t_cap: int) -> list[_Window]:
-    """Fast mode: build every window of the read up front.
+@dataclass
+class _WindowSet:
+    """Array-form fast-mode windows of one read (no per-window Python
+    objects — a 10 kb read has ~200 windows and object overhead dominated
+    the host profile)."""
+
+    ri: np.ndarray          # (Wn,) window reference start
+    ns: np.ndarray          # (Wn,) state count = wl - k + 1
+    g0: np.ndarray          # (Wn,) start into the read's guarded obs stream
+    g1: np.ndarray          # (Wn,) end (exclusive, t_cap-clipped)
+    ref_coord: np.ndarray   # (Wn,)
+    indel: np.ndarray       # (Wn,)
+    g_ev: np.ndarray        # read's guarded event-id stream
+
+
+def _build_window_set(st: _ReadState, cfg: SubstrateConfig,
+                      t_cap: int) -> Optional[_WindowSet]:
+    """Fast mode: build every window of the read up front, as arrays.
 
     TPU-first departure from the reference: instead of advancing by
     ``lastM_ref + 1`` (which makes window n+1 depend on window n's Viterbi
@@ -238,7 +253,7 @@ def _build_all_windows(st: _ReadState, cfg: SubstrateConfig,
     n_kmer_max = ref_len - k + 1
     st.exhausted = True
     if n_kmer_max <= 0:
-        return []
+        return None
     total_wl = cfg.window_length_align
     r2q = p.record.ref_to_query
     pairs = p.event_alignment
@@ -294,7 +309,7 @@ def _build_all_windows(st: _ReadState, cfg: SubstrateConfig,
         metas.append((ri, wl, int(j0), int(j1)))
         ri += wl - k + 1
     if not metas:
-        return []
+        return None
 
     # windows view into the read's guarded event/observation streams (the
     # per-window [j0, j1) pair spans map to contiguous [g0, g1) spans of the
@@ -303,19 +318,18 @@ def _build_all_windows(st: _ReadState, cfg: SubstrateConfig,
     g_ev = pairs[guard_ok, 0]
     st.g_obs = ((ev_mean[g_ev] - p.shift) / p.scale).astype(np.float16)
 
-    out = []
-    for ri, wl, j0, j1 in metas:
-        g0 = int(guard_cum[j0])
-        g1 = min(int(guard_cum[j1]), g0 + t_cap)
-        query_span = int(r2q[ri + wl - k + 1] - r2q[ri])
-        indel_score = query_span - (wl - k + 1)
-        if p.record.is_reverse:
-            ref_coord = p.record.ref_end - ri - k // 2
-        else:
-            ref_coord = p.record.ref_start + ri + k // 2
-        out.append(_Window(st, ri, wl, st.g_obs[g0:g1], g_ev[g0:g1], j0,
-                           indel_score, ref_coord, flat_local=g0))
-    return out
+    m = np.asarray(metas, dtype=np.int64)
+    ri_a, wl_a, j0_a, j1_a = m[:, 0], m[:, 1], m[:, 2], m[:, 3]
+    g0 = guard_cum[j0_a]
+    g1 = np.minimum(guard_cum[j1_a], g0 + t_cap)
+    ns = wl_a - k + 1
+    query_span = r2q[ri_a + ns] - r2q[ri_a]
+    indel = query_span - ns
+    if p.record.is_reverse:
+        ref_coord = p.record.ref_end - ri_a - k // 2
+    else:
+        ref_coord = p.record.ref_start + ri_a + k // 2
+    return _WindowSet(ri_a, ns, g0, g1, ref_coord, indel, g_ev)
 
 
 def _process_window(w: _Window, path_code: np.ndarray, n_states_w: int,
@@ -472,7 +486,7 @@ def _emit_text(w, path_kind, path_pos, ev_idx, last_m_ev, scaled_m,
                 parts.append(f"{coord}\t{kmer_ref}\t{v:.6f}\t{'N' * k}\t0\n")
 
 
-def _process_read_windows_batched(st: _ReadState, windows: list[_Window],
+def _process_read_windows_batched(st: _ReadState, ws: _WindowSet,
                                   paths: list[tuple[np.ndarray, np.ndarray]],
                                   cfg: SubstrateConfig) -> None:
     """Vectorised fast-mode post-processing of ALL of a read's windows at
@@ -483,7 +497,8 @@ def _process_read_windows_batched(st: _ReadState, windows: list[_Window],
     equivalence oracle."""
     p = st.p
     k = cfg.kmer_len
-    if not windows:
+    n_win = ws.ri.shape[0]
+    if not n_win:
         return
     from .. import native
     if native.available():
@@ -494,16 +509,7 @@ def _process_read_windows_batched(st: _ReadState, windows: list[_Window],
             np.fromiter((pc.shape[0] for pc, _ in paths), np.int64,
                         len(paths)),
             np.fromiter((ns for _, ns in paths), np.int64, len(paths)),
-            (np.concatenate([w.event_ids for w in windows])
-             if windows else np.empty(0, np.int64)),
-            np.fromiter((w.event_ids.shape[0] for w in windows), np.int64,
-                        len(windows)),
-            np.fromiter((w.ref_index for w in windows), np.int64,
-                        len(windows)),
-            np.fromiter((w.reference_coord for w in windows), np.int64,
-                        len(windows)),
-            np.fromiter((w.indel_score for w in windows), np.int64,
-                        len(windows)),
+            ws.g_ev, ws.g0, ws.ri, ws.ref_coord, ws.indel,
             p.record.is_reverse, k, p.event_raw_start, p.event_raw_end,
             p.record.raw, p.shift, p.scale, p.record.ref_to_query,
             st.core_rank, st.res_rank, st.ref_codes,
@@ -536,7 +542,7 @@ def _process_read_windows_batched(st: _ReadState, windows: list[_Window],
                                   steps_per)
     poss = (np.repeat(ns_per - 1, steps_per)
             - (np.repeat(total_w, steps_per) - local_csum))
-    win_id = np.repeat(np.arange(len(windows)), steps_per)
+    win_id = np.repeat(np.arange(n_win), steps_per)
     step_off = np.concatenate([[0], np.cumsum(steps_per)[:-1]])
 
     non_d = kinds != vit.KIND_D
@@ -552,15 +558,13 @@ def _process_read_windows_batched(st: _ReadState, windows: list[_Window],
     m_sel = np.nonzero(is_m)[0]
     m_win = win_id[m_sel]
     m_pos = poss[m_sel]
-    # map local event index -> global merged-event id via per-window tables
-    ev_counts = np.array([w.event_ids.shape[0] for w in windows])
-    ev_off = np.concatenate([[0], np.cumsum(ev_counts)[:-1]])
-    all_ev_ids = np.concatenate([w.event_ids for w in windows])
-    m_ev = all_ev_ids[ev_off[m_win] + ev_local[m_sel]]
+    # map local event index -> global event id: windows view spans
+    # [g0, g1) of the read's guarded stream
+    m_ev = ws.g_ev[ws.g0[m_win] + ev_local[m_sel]]
 
-    ri_arr = np.array([w.ref_index for w in windows])
-    rc_arr = np.array([w.reference_coord for w in windows])
-    indel_arr = np.array([w.indel_score for w in windows])
+    ri_arr = ws.ri
+    rc_arr = ws.ref_coord
+    indel_arr = ws.indel
     if p.record.is_reverse:
         coords = rc_arr[m_win] - m_pos - 1
     else:
@@ -744,6 +748,55 @@ def _viterbi_windows_dispatch_flat(windows: list[_Window], obs_flat_dev,
     return pc, pl, ns_arr, n
 
 
+def _viterbi_dispatch_flat_arrays(lens: np.ndarray, ostarts: np.ndarray,
+                                  rstarts: np.ndarray, ns: np.ndarray,
+                                  epb: np.ndarray, obs_flat_dev,
+                                  ranks_flat_dev, models,
+                                  cfg: SubstrateConfig, hmm_probs,
+                                  n_state_pad: int, t_buckets):
+    """Array-form fast-mode dispatch (no per-window Python objects): a chunk
+    ships three i32 offset/length vectors + per-window state counts and
+    events-per-base."""
+    n = lens.shape[0]
+    W = 8
+    while W < n and W < 2048:
+        W *= 2
+    if n > 2048:
+        W = -(-n // 2048) * 2048
+    T = next(b for b in t_buckets if b >= int(lens.max()))
+    n_obs = np.zeros(W, dtype=np.int32)
+    n_obs[:n] = lens
+    ostarts_p = np.zeros(W, dtype=np.int32)
+    ostarts_p[:n] = ostarts
+    rstarts_p = np.zeros(W, dtype=np.int32)
+    rstarts_p[:n] = rstarts
+    n_states = np.ones(W, dtype=np.int32)
+    n_states[:n] = ns
+    epb_p = np.ones(W, dtype=np.float32)
+    epb_p[:n] = epb
+    pc, pl, _score = vit.viterbi_from_flat_jit(
+        obs_flat_dev, jnp.asarray(ostarts_p), jnp.asarray(n_obs),
+        jnp.asarray(rstarts_p), ranks_flat_dev, _device_model_table(models),
+        jnp.asarray(n_states), jnp.asarray(epb_p), hmm_probs, n_state_pad, T)
+    _enqueue_d2h(pc, pl)
+    return pc, pl, ns, n
+
+
+def _materialize_windows(st: _ReadState, ws: _WindowSet,
+                         cfg: SubstrateConfig) -> list[_Window]:
+    """_Window objects from a _WindowSet — only for the text/calls path
+    (align, trainCNN), where per-window processing is unavoidable anyway."""
+    k = cfg.kmer_len
+    out = []
+    for i in range(ws.ri.shape[0]):
+        g0, g1 = int(ws.g0[i]), int(ws.g1[i])
+        out.append(_Window(st, int(ws.ri[i]), int(ws.ns[i]) + k - 1,
+                           st.g_obs[g0:g1], ws.g_ev[g0:g1], 0,
+                           int(ws.indel[i]), int(ws.ref_coord[i]),
+                           flat_local=g0))
+    return out
+
+
 def _viterbi_windows_collect(handle) -> list[tuple[np.ndarray, np.ndarray]]:
     """Block on a dispatched Viterbi chunk; returns (codes, n_states) per
     window in dispatch order."""
@@ -822,23 +875,23 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                                 get_calls(w))
             active = [s for s in still if not s.exhausted]
     else:
-        all_windows: list[_Window] = []
-        win_range_per_state: list[tuple[_ReadState, int, int]] = []
+        sets: list[tuple[_ReadState, _WindowSet, int, int]] = []
+        n_windows = 0
         for st in states:
-            w0 = len(all_windows)
-            all_windows.extend(_build_all_windows(st, cfg, t_cap))
-            win_range_per_state.append((st, w0, len(all_windows)))
+            ws = _build_window_set(st, cfg, t_cap)
+            if ws is not None and ws.ri.shape[0]:
+                sets.append((st, ws, n_windows, n_windows + ws.ri.shape[0]))
+                n_windows += ws.ri.shape[0]
 
         # upload every read's guarded observation stream once as one flat
         # f16 array (length padded to a coarse bucket so batch size changes
         # do not recompile the kernel)
         obs_parts = []
         base = 0
-        for st, w0, w1 in win_range_per_state:
-            if w1 > w0:
-                st.flat_obs_base = base
-                obs_parts.append(st.g_obs)
-                base += st.g_obs.shape[0]
+        for st, ws, w0, w1 in sets:
+            st.flat_obs_base = base
+            obs_parts.append(st.g_obs)
+            base += st.g_obs.shape[0]
         obs_flat = np.zeros(_bucket_up(base, 1 << 17), dtype=np.float16)
         if obs_parts:
             obs_flat[:base] = np.concatenate(obs_parts)
@@ -867,45 +920,48 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                 rk_flat[:off] = np.concatenate(parts)
             ranks_flat_dev = jnp.asarray(rk_flat)
 
-        obs_start_all = np.empty(len(all_windows), dtype=np.int64)
-        rank_start_all = np.empty(len(all_windows), dtype=np.int64)
-        for st, w0, w1 in win_range_per_state:
-            for i in range(w0, w1):
-                w = all_windows[i]
-                obs_start_all[i] = st.flat_obs_base + w.flat_local
-                rank_start_all[i] = st.rank_off + w.ref_index
+        # per-window global arrays — all vector ops, no per-window Python
+        if sets:
+            all_lens = np.concatenate([ws.g1 - ws.g0 for _, ws, _, _ in sets])
+            all_ostarts = np.concatenate(
+                [st.flat_obs_base + ws.g0 for st, ws, _, _ in sets])
+            all_rstarts = np.concatenate(
+                [st.rank_off + ws.ri for st, ws, _, _ in sets])
+            all_ns = np.concatenate([ws.ns for _, ws, _, _ in sets])
+            all_epb = np.concatenate(
+                [np.full(ws.ri.shape[0], st.p.events_per_base)
+                 for st, ws, _, _ in sets])
+        else:
+            all_lens = np.empty(0, np.int64)
 
         # group by T bucket so the scan length matches the windows (most
         # windows are ~half the smallest power-of-two bucket), then chunk;
         # per-read order is restored during processing
         results: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        wlens = np.fromiter((w.obs_scaled.shape[0] for w in all_windows),
-                            np.int64, len(all_windows))
-        wbucket = np.searchsorted(np.asarray(t_buckets), wlens, side="left")
+        wbucket = np.searchsorted(np.asarray(t_buckets), all_lens,
+                                  side="left")
         # dispatch every chunk before collecting any: the device queue
         # overlaps chunk k's execution with chunk k+1's host batch build
         handles = []
         for bi in range(len(t_buckets)):
             order = np.flatnonzero(wbucket == bi)
             for c0 in range(0, order.shape[0], max_windows_per_batch):
-                chunk_ids = order[c0 : c0 + max_windows_per_batch]
-                chunk = [all_windows[i] for i in chunk_ids]
-                handles.append((chunk_ids, _viterbi_windows_dispatch_flat(
-                    chunk, obs_flat_dev, ranks_flat_dev,
-                    obs_start_all[chunk_ids], rank_start_all[chunk_ids],
+                cid = order[c0 : c0 + max_windows_per_batch]
+                handles.append((cid, _viterbi_dispatch_flat_arrays(
+                    all_lens[cid], all_ostarts[cid], all_rstarts[cid],
+                    all_ns[cid], all_epb[cid], obs_flat_dev, ranks_flat_dev,
                     models, cfg, hmm_probs, n_state_pad, t_buckets)))
-        for chunk_ids, h in handles:
-            for wid, res in zip(chunk_ids, _viterbi_windows_collect(h)):
+        for cid, h in handles:
+            for wid, res in zip(cid, _viterbi_windows_collect(h)):
                 results[wid] = res
         simple = not collect_text and calls_per_read is None
-        for st, w0, w1 in win_range_per_state:
-            wins = all_windows[w0:w1]
+        for st, ws, w0, w1 in sets:
+            paths = [results[i] for i in range(w0, w1)]
             if simple:
-                _process_read_windows_batched(
-                    st, wins, [results[i] for i in range(w0, w1)], cfg)
+                _process_read_windows_batched(st, ws, paths, cfg)
             else:
-                for i, w in zip(range(w0, w1), wins):
-                    codes, ns_w = results[i]
+                for w, (codes, ns_w) in zip(
+                        _materialize_windows(st, ws, cfg), paths):
                     _process_window(w, codes, ns_w, cfg,
                                     collect_text, get_calls(w),
                                     update_cursor=False)
