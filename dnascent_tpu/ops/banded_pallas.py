@@ -34,10 +34,10 @@ NEG = np.float32(-np.inf)
 FROM_D, FROM_U, FROM_L = 0, 1, 2
 WIN = 256          # sliding window lanes
 REFILL_STEPS = 32  # refill every 32 grid steps = 128 bands (<= WIN - W - 4)
+FLUSH = 8          # grid steps per output-block flush (one DMA per FLUSH)
 
 
-def _kernel(n_ev_ref, n_km_ref, lp_stay_ref, lp_step_ref,   # scalar prefetch
-            coef_ref, ev_ref, revmat_ref,                   # HBM inputs
+def _kernel(coef_ref, ev_ref, revmat_ref, readvec_ref,      # VMEM inputs
             trace_ref, rights_ref, best_score_ref, best_event_ref,  # outputs
             prev1, prev2, win_coef, win_ev, e0v_s, k0v_s, rp_s,
             best_s, best_e,                                 # scratch
@@ -90,10 +90,13 @@ def _kernel(n_ev_ref, n_km_ref, lp_stay_ref, lp_step_ref,   # scalar prefetch
     e0v = e0v_s[:]
     k0v = k0v_s[:]
     rp = rp_s[:]
-    lp_stay_v = jnp.stack([lp_stay_ref[b] for b in range(B)]).reshape(B, 1)
-    lp_step_v = jnp.stack([lp_step_ref[b] for b in range(B)]).reshape(B, 1)
-    n_ev_v = jnp.stack([n_ev_ref[b] for b in range(B)]).reshape(B, 1)
-    n_km_v = jnp.stack([n_km_ref[b] for b in range(B)]).reshape(B, 1)
+    # per-read vectors as (B, 1) VMEM loads — the previous per-step SMEM
+    # scalar gathers (4 x B reads + stacks every step) were measurable at
+    # ~5.6k grid steps per call
+    lp_stay_v = readvec_ref[:, 0:1]
+    lp_step_v = readvec_ref[:, 1:2]
+    n_ev_v = readvec_ref[:, 2:3].astype(jnp.int32)
+    n_km_v = readvec_ref[:, 3:4].astype(jnp.int32)
 
     wc = win_coef[:]
     we = win_ev[:]
@@ -198,8 +201,11 @@ def _kernel(n_ev_ref, n_km_ref, lp_stay_ref, lp_step_ref,   # scalar prefetch
     rp_s[:] = rp
     best_s[:] = bs
     best_e[:] = be
-    trace_ref[0] = trace_acc.astype(jnp.uint8)
-    rights_ref[0] = rights_acc.astype(jnp.uint8).reshape(1, B)
+    # outputs are blocked FLUSH grid steps at a time (same block index for
+    # FLUSH consecutive steps), so the per-step output DMA issue cost is
+    # paid once per FLUSH steps instead of twice per step
+    trace_ref[step % FLUSH] = trace_acc.astype(jnp.uint8)
+    rights_ref[step % FLUSH] = rights_acc.astype(jnp.uint8).reshape(1, B)
 
     @pl.when(step == n_steps - 1)
     def _final():
@@ -273,17 +279,18 @@ def banded_fill_pallas(scaled_events: jnp.ndarray,   # (B, E) f32
     ev_p = _pad_to(scaled_events, Ep)   # (B, Ep)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=0,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # coef
             pl.BlockSpec(memory_space=pltpu.VMEM),  # events
             pl.BlockSpec(memory_space=pltpu.VMEM),  # reversal matrix
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # per-read vectors (B, 4)
         ],
         out_specs=(
-            pl.BlockSpec((1, B, W), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((FLUSH, B, W), lambda i, *_: (i // FLUSH, 0, 0),
                          memory_space=pltpu.VMEM),   # trace
-            pl.BlockSpec((1, 1, B), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((FLUSH, 1, B), lambda i, *_: (i // FLUSH, 0, 0),
                          memory_space=pltpu.VMEM),   # rights
             pl.BlockSpec((1, B), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),   # best_score
@@ -305,20 +312,23 @@ def banded_fill_pallas(scaled_events: jnp.ndarray,   # (B, E) f32
     kernel = functools.partial(_kernel, B=B, W=W, lp_skip=lp_skip,
                                lp_trim=lp_trim, Kp=Kp, Ep=Ep,
                                n_steps=n_steps)
+    readvec = jnp.stack(
+        [lp_stay, lp_step, n_events.astype(jnp.float32),
+         n_kmers.astype(jnp.float32)], axis=1)              # (B, 4) f32
     trace, rights, best_score, best_event = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_steps, B, W), jnp.uint8),
-            jax.ShapeDtypeStruct((n_steps, 1, B), jnp.uint8),
+            jax.ShapeDtypeStruct((_round_up(n_steps, FLUSH), B, W),
+                                 jnp.uint8),
+            jax.ShapeDtypeStruct((_round_up(n_steps, FLUSH), 1, B),
+                                 jnp.uint8),
             jax.ShapeDtypeStruct((1, B), jnp.float32),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ),
-    )(n_events.astype(jnp.int32), n_kmers.astype(jnp.int32),
-      lp_stay, lp_step, coef, ev_p,
-      jnp.asarray(np.eye(W, dtype=np.float32)[::-1]))
-    return (trace[:, :B0, :], rights[:, 0, :B0], best_event[0, :B0],
-            best_score[0, :B0])
+    )(coef, ev_p, jnp.asarray(np.eye(W, dtype=np.float32)[::-1]), readvec)
+    return (trace[:n_steps, :B0, :], rights[:n_steps, 0, :B0],
+            best_event[0, :B0], best_score[0, :B0])
 
 
 @functools.partial(jax.jit, static_argnames=("bandwidth", "epsilon_skip",

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..config import SubstrateConfig, DNA_R10
 from ..io.poremodel import PoreModelSet
 from ..models import cnn as cnn_mod
-from ..utils.seqtools import reverse_complement
+from ..utils.seqtools import _COMP_TABLE as _COMP_U8
 from .eventalign import AlignedPositions, run_eventalign
 from .prep import PreparedRead, prepare_reads
 from .source import ReadRecord
@@ -38,12 +38,34 @@ class DetectedRead:
     ref_coords: np.ndarray      # (C,) int64
     edu_prob: np.ndarray        # (C,) float32
     brdu_prob: np.ndarray       # (C,) float32
-    kmers_ref: list             # reference-oriented 9-mer strings
+    kmer_starts: np.ndarray     # (C,) int64 into record.reference_seq
     # modbam side: per-position query indices in sequencing orientation,
     # filtered by the deletion mask (detect.cpp:704)
     query_indices: np.ndarray   # (Cq,) int64
     edu_prob_q: np.ndarray
     brdu_prob_q: np.ndarray
+    _kmers: Optional[list] = None
+
+    @property
+    def kmers_ref(self) -> list:
+        """Reference-oriented 9-mer strings, built lazily (only the
+        human-readable writer needs them) from one vectorised byte-window
+        pass instead of per-position string slicing."""
+        if self._kmers is None:
+            k = 9
+            seq = np.frombuffer(self.record.reference_seq.encode("ascii"),
+                                np.uint8)
+            if seq.shape[0] < k or self.kmer_starts.shape[0] == 0:
+                self._kmers = [""] * self.kmer_starts.shape[0]
+                return self._kmers
+            wins = np.lib.stride_tricks.sliding_window_view(
+                seq, k)[self.kmer_starts]
+            if self.record.is_reverse:
+                wins = _COMP_U8[wins][:, ::-1]
+            flat = wins.tobytes()
+            self._kmers = [flat[i : i + k].decode("ascii")
+                           for i in range(0, len(flat), k)]
+        return self._kmers
 
 
 @dataclass
@@ -179,12 +201,6 @@ def collect_calls(rec: ReadRecord, pos: AlignedPositions,
     coords = pos.coord[sel]
     brdu = probs_t[:, 1].astype(np.float32)
     edu = probs_t[:, 2].astype(np.float32)
-    # reference-oriented kmers for the human-readable table
-    k = 9
-    kmers = []
-    for ks in pos.kmer_start[sel]:
-        kmer = rec.reference_seq[ks : ks + k]
-        kmers.append(reverse_complement(kmer) if rec.is_reverse else kmer)
     # modbam side: skip positions whose reference index is in a deletion
     qsel_t = ~rec.ref_to_del[pos.ref_idx[sel]]
     return DetectedRead(
@@ -192,7 +208,7 @@ def collect_calls(rec: ReadRecord, pos: AlignedPositions,
         ref_coords=coords,
         edu_prob=edu,
         brdu_prob=brdu,
-        kmers_ref=kmers,
+        kmer_starts=pos.kmer_start[sel],
         query_indices=pos.query_idx[sel][qsel_t],
         edu_prob_q=edu[qsel_t],
         brdu_prob_q=brdu[qsel_t],

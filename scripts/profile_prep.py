@@ -49,7 +49,8 @@ for rep in range(2):
         key = (_bucket(p.n_events, 4096), _bucket(p.n_kmers, 4096))
         buckets.setdefault(key, []).append(p)
     bw = cfg.banded.bandwidth
-    from dnascent_tpu.ops.banded_pallas import banded_fill_pallas_from_ranks_jit
+    from dnascent_tpu.ops.banded_pallas import banded_fill_pallas_from_codes_jit
+    from dnascent_tpu.utils.seqtools import encode_bases
     t0 = time.perf_counter()
     dispatched = []
     for (E, K), group in buckets.items():
@@ -57,15 +58,16 @@ for rep in range(2):
             g = group[c:c+16]
             B = len(g)
             scaled = np.zeros((B, E), dtype=np.float32)
-            ranks = np.full((B, K), -1, dtype=np.int32)
+            codes = np.zeros((B, K + 8), dtype=np.uint8)
             n_ev = np.zeros(B, np.int32); n_km = np.zeros(B, np.int32)
             for b, p in enumerate(g):
                 ne, nk = p.n_events, p.n_kmers
                 scaled[b, :ne] = (p.event_mean - p.shift) / p.scale
-                ranks[b, :nk] = np.where(p.kmer_ranks_query < 0, 0, p.kmer_ranks_query)
+                bc = encode_bases(p.record.basecall).astype(np.uint8)
+                codes[b, :bc.shape[0]] = bc
                 n_ev[b], n_km[b] = ne, nk
-            tp, rp, best_e, _ = banded_fill_pallas_from_ranks_jit(
-                jnp.asarray(scaled.astype(np.float16)), jnp.asarray(ranks),
+            tp, rp, best_e, _ = banded_fill_pallas_from_codes_jit(
+                jnp.asarray(scaled.astype(np.float16)), jnp.asarray(codes),
                 _device_model_table(models), jnp.asarray(n_ev), jnp.asarray(n_km),
                 bandwidth=bw, epsilon_skip=cfg.banded.epsilon_skip,
                 p_trim=cfg.banded.p_trim)
