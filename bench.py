@@ -25,7 +25,7 @@ import time
 
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.9")
 
-N_READS = int(os.environ.get("BENCH_READS", "64"))
+N_READS = int(os.environ.get("BENCH_READS", "128"))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", "10000"))
 BASELINE_READS_PER_S = float(os.environ.get("BENCH_BASELINE", "25.0"))
 
@@ -49,9 +49,9 @@ def main():
     records = list(src)
     # small batches pipelined deep: the per-batch chain is transfer-bound on
     # the tunnel, so finer batches overlap uploads/downloads/host numpy of
-    # neighbouring batches better than big ones (measured optimum 16/4)
+    # neighbouring batches better than big ones (measured optimum 16/6)
     batch_size = int(os.environ.get("BENCH_BATCH", str(min(16, N_READS))))
-    depth = int(os.environ.get("BENCH_DEPTH", "4"))
+    depth = int(os.environ.get("BENCH_DEPTH", "6"))
 
     # warmup with the *same* shapes as the measured run so every kernel
     # bucket is compiled (and lands in the persistent cache) before timing

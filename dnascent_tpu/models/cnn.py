@@ -152,18 +152,26 @@ def apply_model_f16(model: DetectCNN, params, core_idx, residual_idx, signal):
                        signal).astype(jnp.float16)
 
 
+def _t_index_from_deltas(t_delta_u16):
+    """Reconstruct flat B*L centre-T indices from u16 increments (first
+    entry holds the first index; cross-read jumps stay < 2L < 65536 for the
+    position buckets in use, so u16 is lossless)."""
+    return jnp.cumsum(t_delta_u16.astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("model",))
 def apply_model_flat_f16(model: DetectCNN, params, core_idx, residual_idx,
-                         flat_sig_u8, counts_u8, t_index):
+                         flat_sig_u8, counts_u8, t_delta_u16):
     """Transfer-lean forward for slow interconnects.
 
     Per-position raw-sample windows arrive as one flat u8 stream plus a
     per-position count (instead of the zero-padded (B, L, RAWDEPTH) matrix —
     roughly half the bytes at typical stay lengths); the window matrix is
     reconstructed on device with a cumsum + gather.  Output probabilities
-    are gathered at ``t_index`` (flat B*L indices of the centre-T positions,
-    the only ones the caller reports — detect.cpp:690) so the download
-    shrinks to the called positions.
+    are gathered at the centre-T positions (u16 index increments, rebuilt on
+    device — the only positions the caller reports, detect.cpp:690) and only
+    the [BrdU, EdU] columns come back (detect unpacks just those two,
+    detect.cpp:698), so the download shrinks ~3x.
     """
     B, L = core_idx.shape
     counts = counts_u8.astype(jnp.int32).reshape(B * L)
@@ -176,30 +184,33 @@ def apply_model_flat_f16(model: DetectCNN, params, core_idx, residual_idx,
     sig_q = jnp.where(valid, flat[jnp.clip(idx, 0, flat.shape[0] - 1)], 0)
     sig = sig_q.astype(jnp.uint8).reshape(B, L, RAWDEPTH)
     probs = model.apply(params, core_idx, residual_idx, sig)
-    return probs.reshape(B * L, -1)[t_index].astype(jnp.float16)
+    t_index = _t_index_from_deltas(t_delta_u16)
+    return probs.reshape(B * L, -1)[t_index, 1:].astype(jnp.float16)
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
 def apply_model_from_flat_ranks_f16(model: DetectCNN, params, ks_base,
-                                    ks_delta_u16, flat_off, n_pos, flat_ranks,
-                                    flat_sig_u8, counts_u8, t_index):
+                                    ks_delta, flat_off, n_pos, flat_ranks,
+                                    flat_sig_u8, counts_u8, t_delta_u16):
     """Most transfer-lean forward: the two sequence-index planes are derived
     on device from the batch's resident flat k-mer-rank array (uploaded once
     by prep as u8 codes), so the call ships only per-position kmer-start
-    deltas (u16) plus the flat signal stream.  (Deriving ``t_index`` on
-    device via jnp.nonzero was tried and measured ~10% slower end-to-end —
-    the compaction costs more than the 4-byte-per-T-position upload saves.)
+    deltas (u8 when they fit, u16 otherwise) plus the flat signal stream.
+    (Deriving the T-position index on device via jnp.nonzero was tried and
+    measured ~10% slower end-to-end — the compaction costs more than the
+    2-byte-per-T-position upload saves.)
 
-    ``ks_base``/``ks_delta_u16``: per-row first kmer_start and non-negative
+    ``ks_base``/``ks_delta``: per-row first kmer_start and non-negative
     position-to-position increments (cumsum reconstructs kmer_start);
     ``flat_off``: per-row offset of the read's ranks in ``flat_ranks``;
     ``n_pos``: per-row valid position count (padding gets index 0, the
-    embedding tables' padding row).
+    embedding tables' padding row); ``t_delta_u16``: u16 increments of the
+    flat B*L centre-T indices.  Only [BrdU, EdU] columns come back.
     """
     from ..ops.seqcodes import (core_index_from_ranks,
                                 residual_index_from_ranks)
-    B, L = ks_delta_u16.shape
-    ks = ks_base[:, None] + jnp.cumsum(ks_delta_u16.astype(jnp.int32), axis=1)
+    B, L = ks_delta.shape
+    ks = ks_base[:, None] + jnp.cumsum(ks_delta.astype(jnp.int32), axis=1)
     in_pos = jnp.arange(L, dtype=jnp.int32)[None, :] < n_pos[:, None]
     gidx = jnp.clip(flat_off[:, None] + ks, 0, flat_ranks.shape[0] - 1)
     rank = flat_ranks[gidx]
@@ -215,7 +226,8 @@ def apply_model_from_flat_ranks_f16(model: DetectCNN, params, ks_base,
     sig_q = jnp.where(valid, flat[jnp.clip(idx, 0, flat.shape[0] - 1)], 0)
     sig = sig_q.astype(jnp.uint8).reshape(B, L, RAWDEPTH)
     probs = model.apply(params, core_idx, residual_idx, sig)
-    return probs.reshape(B * L, -1)[t_index].astype(jnp.float16)
+    t_index = _t_index_from_deltas(t_delta_u16)
+    return probs.reshape(B * L, -1)[t_index, 1:].astype(jnp.float16)
 
 
 # ---------------------------------------------------------------------------

@@ -121,7 +121,7 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
                 p.flat_ranks_device is shared_flat for p, _ in chunk)
             counts = np.zeros((B, L), dtype=np.uint8)
             ks_base = np.zeros(B, dtype=np.int32)
-            ks_delta = np.zeros((B, L), dtype=np.uint16)
+            ks_delta32 = np.zeros((B, L), dtype=np.int32)
             flat_off = np.zeros(B, dtype=np.int32)
             n_pos = np.zeros(B, dtype=np.int32)
             core = resid = None
@@ -136,7 +136,7 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
                         use_ranks = False
                     else:
                         ks_base[b] = pos.kmer_start[0]
-                        ks_delta[b, :n] = d
+                        ks_delta32[b, :n] = d
                         flat_off[b] = p.flat_ranks_offset
                         n_pos[b] = n
                 if pos.signal_u8_flat is not None:
@@ -151,7 +151,7 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
                     take = (np.arange(cnn_mod.RAWDEPTH)[None, :]
                             < c[:, None].astype(np.int64))
                     flats.append(q[take])
-                tpos = np.flatnonzero(pos.center_is_T).astype(np.int32)
+                tpos = np.flatnonzero(pos.center_is_T).astype(np.int64)
                 t_idx_parts.append(b * L + tpos)
                 t_spans.append(tpos.shape[0])
             if not use_ranks:
@@ -162,23 +162,35 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
                     core[b, :n] = pos.core_idx
                     resid[b, :n] = pos.residual_idx
             flat = np.concatenate(flats) if flats else np.zeros(0, np.uint8)
-            flat = np.pad(flat, (0, _bucket_up(flat.shape[0], 1 << 20)
+            flat = np.pad(flat, (0, _bucket_up(flat.shape[0], 1 << 18)
                                  - flat.shape[0]))
             t_index = (np.concatenate(t_idx_parts) if t_idx_parts
-                       else np.zeros(0, np.int32))
+                       else np.zeros(0, np.int64))
             nt = t_index.shape[0]
-            t_index = np.pad(t_index, (0, _bucket_up(nt, 1 << 14) - nt))
+            # ship T positions as index increments: u16 when they fit
+            # (always, for position buckets below ~32k), i32 otherwise —
+            # the jitted gather cumsums either dtype
+            t_delta = np.diff(t_index, prepend=np.int64(0))
+            t_delta = np.pad(t_delta, (0, _bucket_up(nt, 1 << 13) - nt))
+            t_delta = (t_delta.astype(np.uint16)
+                       if (nt == 0 or t_delta.max() < (1 << 16))
+                       else t_delta.astype(np.int32))
+            # kmer-start deltas likewise drop to u8 when they fit (the
+            # common case: consecutive positions advance by 0..a few bases)
             if use_ranks:
+                ks_delta = (ks_delta32.astype(np.uint8)
+                            if ks_delta32.max(initial=0) < 256
+                            else ks_delta32.astype(np.uint16))
                 probs_dev = cnn_mod.apply_model_from_flat_ranks_f16(
                     model, params, jnp.asarray(ks_base),
                     jnp.asarray(ks_delta), jnp.asarray(flat_off),
                     jnp.asarray(n_pos), shared_flat, jnp.asarray(flat),
-                    jnp.asarray(counts), jnp.asarray(t_index))
+                    jnp.asarray(counts), jnp.asarray(t_delta))
             else:
                 probs_dev = cnn_mod.apply_model_flat_f16(
                     model, params, jnp.asarray(core), jnp.asarray(resid),
                     jnp.asarray(flat), jnp.asarray(counts),
-                    jnp.asarray(t_index))
+                    jnp.asarray(t_delta))
             from .eventalign import _enqueue_d2h
             _enqueue_d2h(probs_dev)
             dispatched.append((chunk, t_spans, probs_dev))
@@ -196,11 +208,12 @@ def collect_calls(rec: ReadRecord, pos: AlignedPositions,
     """Unpack CNN output per the reference's runCNN bookkeeping
     (detect.cpp:686-714).  ``probs_t`` holds probabilities at the read's
     centre-T positions only (run_cnn_batched gathers them on device);
-    columns are [unmodified, BrdU, EdU]."""
+    columns are [BrdU, EdU] (the unmodified-T column never leaves the
+    device — detect reports only these two, detect.cpp:698)."""
     sel = pos.center_is_T
     coords = pos.coord[sel]
-    brdu = probs_t[:, 1].astype(np.float32)
-    edu = probs_t[:, 2].astype(np.float32)
+    brdu = probs_t[:, 0].astype(np.float32)
+    edu = probs_t[:, 1].astype(np.float32)
     # modbam side: skip positions whose reference index is in a deletion
     qsel_t = ~rec.ref_to_del[pos.ref_idx[sel]]
     return DetectedRead(

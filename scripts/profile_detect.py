@@ -7,6 +7,9 @@ import time
 
 import numpy as np
 
+from dnascent_tpu.utils.jaxcache import enable_compilation_cache
+enable_compilation_cache()
+
 from dnascent_tpu.config import DNA_R10
 from dnascent_tpu.io.poremodel import synthetic_model_set
 from dnascent_tpu.models import cnn as cnn_mod
