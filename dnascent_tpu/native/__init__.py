@@ -70,6 +70,12 @@ def _load():
             i64p, i64p, i64p, i64p, i64p, i64p, i64p, u8p, i64p,
             u8p, i64p, f32p, i64, i64p, i64p,
         ]
+        lib.decode_moves.restype = i64
+        lib.decode_moves.argtypes = [
+            u8p, i64, i64, i64, i64, i64,
+            f64p, f32p, f32p, f32p, f32p, i64p, i64p, i64,
+            i64p, i64, f64p, i64p, f64p,
+        ]
         lib.seebreaks_simulation.restype = None
         lib.seebreaks_simulation.argtypes = [
             i64p, i64p, i64, i64p, i64, i64, i64, u32, i64, i64, f64p,
@@ -153,6 +159,39 @@ def banded_backtrace(trace: np.ndarray, rights: np.ndarray, n_bands: int,
     n_pairs = int(stats[3])
     n_cleaned = int(stats[4])
     m = min(n_pairs, max_pairs)
+    return (pairs[: 2 * m].reshape(-1, 2).copy(), cs[:n_cleaned].copy(),
+            cr[:n_cleaned].copy(), float(stats[0]), bool(stats[1]),
+            int(stats[2]))
+
+
+def decode_moves(packed: np.ndarray, col: int, best_event: int, n_kmers: int,
+                 event_means: np.ndarray, scaled_events: np.ndarray,
+                 mu: np.ndarray, inv_sigma: np.ndarray, lp_const: np.ndarray,
+                 query_to_ref: np.ndarray, kmer_ranks_ref: np.ndarray):
+    """Native decode of one read's packed 2-bit move stream (GIL-released
+    twin of ops.banded.decode_moves_host).  Returns (pairs (n,2),
+    cleaned_signals, cleaned_ranks, avg_log_emission, spanned, max_gap)."""
+    lib = get_lib()
+    rows, B = packed.shape
+    max_pairs = rows * 4 + 1
+    pairs = np.empty(max_pairs * 2, dtype=np.int64)
+    cs = np.empty(max_pairs, dtype=np.float64)
+    cr = np.empty(max_pairs, dtype=np.int64)
+    stats = np.zeros(5, dtype=np.float64)
+    m = lib.decode_moves(
+        np.ascontiguousarray(packed, dtype=np.uint8), rows, B, int(col),
+        int(best_event), int(n_kmers),
+        np.ascontiguousarray(event_means, dtype=np.float64),
+        np.ascontiguousarray(scaled_events, dtype=np.float32),
+        np.ascontiguousarray(mu, dtype=np.float32),
+        np.ascontiguousarray(inv_sigma, dtype=np.float32),
+        np.ascontiguousarray(lp_const, dtype=np.float32),
+        np.ascontiguousarray(query_to_ref, dtype=np.int64),
+        np.ascontiguousarray(kmer_ranks_ref, dtype=np.int64),
+        int(kmer_ranks_ref.shape[0]),
+        pairs, max_pairs, cs, cr, stats)
+    m = int(m)
+    n_cleaned = int(stats[4])
     return (pairs[: 2 * m].reshape(-1, 2).copy(), cs[:n_cleaned].copy(),
             cr[:n_cleaned].copy(), float(stats[0]), bool(stats[1]),
             int(stats[2]))

@@ -391,4 +391,91 @@ int64_t process_read_windows(
     return P;
 }
 
+// ---------------------------------------------------------------------------
+// Packed-move backtrace decode (twin of ops/banded.decode_moves_host)
+// ---------------------------------------------------------------------------
+
+// Decodes one read's packed 2-bit move stream (column `col` of the
+// (rows, B)-shaped device download) into event-alignment pairs, QC
+// statistics and the Theil-Sen cleaned signals — the same outputs as
+// decode_moves_host (event_handling.cpp:318-443 semantics).  Moves arrive in
+// backward order (path end first); pairs_out is reversed to ascending order
+// before returning.  Returns the number of pairs.
+//
+// stats_out: [avg_log_emission, spanned, max_gap, n_pairs, n_cleaned]
+int64_t decode_moves(const uint8_t* packed, int64_t rows, int64_t B,
+                     int64_t col, int64_t best_event, int64_t n_kmers,
+                     const double* event_means, const float* scaled_events,
+                     const float* mu, const float* inv_sigma,
+                     const float* lp_const, const int64_t* query_to_ref,
+                     const int64_t* kmer_ranks_ref, int64_t n_ref_kmers,
+                     int64_t* pairs_out, int64_t max_pairs,
+                     double* cleaned_signal_out, int64_t* cleaned_rank_out,
+                     double* stats_out) {
+    const int MOVE_D = 0, MOVE_U = 1, MOVE_L = 2, MOVE_PAD = 3;
+    int64_t e = best_event, k = n_kmers - 1;
+    int64_t n_pairs = 0, n_cleaned = 0;
+    double sum_emission = 0.0;
+    int64_t curr_gap = 0, max_gap = 0;
+    // cleaned-segment accumulator: D/U event means since the last D
+    double seg_sum = 0.0;
+    int64_t seg_count = 0;
+    for (int64_t r = 0; r < rows; ++r) {
+        uint8_t byte = packed[r * B + col];
+        for (int j = 0; j < 4; ++j) {
+            int move = (byte >> (2 * j)) & 3;
+            if (move == MOVE_PAD) goto done;
+            if (n_pairs < max_pairs) {
+                pairs_out[2 * n_pairs] = e;
+                pairs_out[2 * n_pairs + 1] = k;
+            }
+            ++n_pairs;
+            float a = (scaled_events[e] - mu[k]) * inv_sigma[k];
+            sum_emission += (double)(lp_const[k] - 0.5f * a * a);
+            if (move == MOVE_D) {
+                seg_sum += event_means[e];
+                ++seg_count;
+                int64_t por = query_to_ref[k];
+                if (por >= 0 && por < n_ref_kmers) {
+                    cleaned_signal_out[n_cleaned] =
+                        seg_sum / (double)(seg_count > 0 ? seg_count : 1);
+                    cleaned_rank_out[n_cleaned] = kmer_ranks_ref[por];
+                    ++n_cleaned;
+                }
+                seg_sum = 0.0;
+                seg_count = 0;
+                --e;
+                --k;
+                curr_gap = 0;
+            } else if (move == MOVE_U) {
+                seg_sum += event_means[e];
+                ++seg_count;
+                --e;
+                curr_gap = 0;
+            } else {  // MOVE_L
+                --k;
+                ++curr_gap;
+                if (curr_gap > max_gap) max_gap = curr_gap;
+            }
+        }
+    }
+done:
+    int64_t m = std::min(n_pairs, max_pairs);
+    for (int64_t i = 0; i < m / 2; ++i) {
+        std::swap(pairs_out[2 * i], pairs_out[2 * (m - 1 - i)]);
+        std::swap(pairs_out[2 * i + 1], pairs_out[2 * (m - 1 - i) + 1]);
+    }
+    bool spanned = false;
+    if (m > 0)
+        spanned = (pairs_out[1] == 0)
+                  && (pairs_out[2 * (m - 1) + 1] == n_kmers - 1);
+    stats_out[0] =
+        n_pairs ? sum_emission / (double)n_pairs : -INFINITY;
+    stats_out[1] = spanned ? 1.0 : 0.0;
+    stats_out[2] = (double)max_gap;
+    stats_out[3] = (double)n_pairs;
+    stats_out[4] = (double)n_cleaned;
+    return m;
+}
+
 }  // extern "C"

@@ -259,7 +259,10 @@ def backtrace_moves_device(trace_packed: jnp.ndarray,   # (n_steps, B, W) u8
     # scan (emitting rows) instead of fori_loop + dynamic_update_slice, and
     # unrolled: the chase is ~n_bands (tens of thousands) tiny sequential
     # steps, so per-step dispatch overhead dominates without unrolling
-    _, buf = jax.lax.scan(body, (e0, k0, done0), None, length=L, unroll=1)
+    import os
+    unroll = int(os.environ.get("DNASCENT_BT_UNROLL", "8"))
+    _, buf = jax.lax.scan(body, (e0, k0, done0), None, length=L,
+                          unroll=unroll)
     # pack 4 moves per byte for the transfer
     Lp = (L + 3) // 4 * 4
     buf = jnp.pad(buf, ((0, Lp - L), (0, 0)), constant_values=MOVE_PAD)

@@ -313,10 +313,11 @@ def _build_window_set(st: _ReadState, cfg: SubstrateConfig,
 
     # windows view into the read's guarded event/observation streams (the
     # per-window [j0, j1) pair spans map to contiguous [g0, g1) spans of the
-    # guard-filtered stream), so no per-window copies are made and the
-    # device batch ships one flat f16 array + i32 offsets
+    # guard-filtered stream), so no per-window copies are made.  The
+    # observation VALUES are built lazily: the resident-obs path derives
+    # them on device from prep's fill input (run_eventalign), the fallback
+    # computes them host-side (_host_obs).
     g_ev = pairs[guard_ok, 0]
-    st.g_obs = ((ev_mean[g_ev] - p.shift) / p.scale).astype(np.float16)
 
     m = np.asarray(metas, dtype=np.int64)
     ri_a, wl_a, j0_a, j1_a = m[:, 0], m[:, 1], m[:, 2], m[:, 3]
@@ -709,45 +710,6 @@ def _enqueue_d2h(*arrays) -> None:
             pass
 
 
-def _viterbi_windows_dispatch_flat(windows: list[_Window], obs_flat_dev,
-                                   ranks_flat_dev, obs_starts: np.ndarray,
-                                   rank_starts: np.ndarray, models,
-                                   cfg: SubstrateConfig, hmm_probs,
-                                   n_state_pad: int, t_buckets):
-    """Fast-mode dispatch: both observation and rank data are resident flat
-    device arrays; the chunk ships only three i32 vectors (starts, lengths,
-    state counts) plus per-read scalars."""
-    n = len(windows)
-    # W buckets: powers of two to 2048, then multiples of 2048 (pow2 padding
-    # wastes up to half the compute at large chunk sizes)
-    W = 8
-    while W < n and W < 2048:
-        W *= 2
-    if n > 2048:
-        W = -(-n // 2048) * 2048
-    lens = np.fromiter((w.obs_scaled.shape[0] for w in windows), np.int64, n)
-    T = next(b for b in t_buckets if b >= int(lens.max()))
-    n_obs = np.zeros(W, dtype=np.int32)
-    n_obs[:n] = lens
-    ostarts = np.zeros(W, dtype=np.int32)
-    ostarts[:n] = obs_starts
-    rstarts = np.zeros(W, dtype=np.int32)
-    rstarts[:n] = rank_starts
-    ns_arr = np.fromiter((w.window_length - cfg.kmer_len + 1
-                          for w in windows), np.int64, n)
-    n_states = np.ones(W, dtype=np.int32)
-    n_states[:n] = ns_arr
-    epb = np.ones(W, dtype=np.float32)
-    epb[:n] = np.fromiter((w.state.p.events_per_base for w in windows),
-                          np.float64, n)
-    pc, pl, _score = vit.viterbi_from_flat_jit(
-        obs_flat_dev, jnp.asarray(ostarts), jnp.asarray(n_obs),
-        jnp.asarray(rstarts), ranks_flat_dev, _device_model_table(models),
-        jnp.asarray(n_states), jnp.asarray(epb), hmm_probs, n_state_pad, T)
-    _enqueue_d2h(pc, pl)
-    return pc, pl, ns_arr, n
-
-
 def _viterbi_dispatch_flat_arrays(lens: np.ndarray, ostarts: np.ndarray,
                                   rstarts: np.ndarray, ns: np.ndarray,
                                   epb: np.ndarray, obs_flat_dev,
@@ -758,11 +720,18 @@ def _viterbi_dispatch_flat_arrays(lens: np.ndarray, ostarts: np.ndarray,
     ships three i32 offset/length vectors + per-window state counts and
     events-per-base."""
     n = lens.shape[0]
+    # W buckets: powers of two to a granularity floor, then multiples of it —
+    # the fill cost and the path-code download scale with W, so coarse pow2
+    # buckets waste padding, but finer buckets mean more distinct executables
+    # (and executable switches are not free on remote backends); 2048
+    # measured best end-to-end on the tunnel
+    import os as _os
+    _gran = int(_os.environ.get("DNASCENT_VIT_W_GRAN", "2048"))
     W = 8
-    while W < n and W < 2048:
+    while W < n and W < _gran:
         W *= 2
-    if n > 2048:
-        W = -(-n // 2048) * 2048
+    if n > _gran:
+        W = -(-n // _gran) * _gran
     T = next(b for b in t_buckets if b >= int(lens.max()))
     n_obs = np.zeros(W, dtype=np.int32)
     n_obs[:n] = lens
@@ -782,11 +751,20 @@ def _viterbi_dispatch_flat_arrays(lens: np.ndarray, ostarts: np.ndarray,
     return pc, pl, ns, n
 
 
+def _host_obs(st: _ReadState, ws: _WindowSet) -> np.ndarray:
+    """Host-side observation stream for one read (fallback when the
+    device-resident rebuild is unavailable)."""
+    p = st.p
+    return ((p.event_mean[ws.g_ev] - p.shift) / p.scale).astype(np.float16)
+
+
 def _materialize_windows(st: _ReadState, ws: _WindowSet,
                          cfg: SubstrateConfig) -> list[_Window]:
     """_Window objects from a _WindowSet — only for the text/calls path
     (align, trainCNN), where per-window processing is unavoidable anyway."""
     k = cfg.kmer_len
+    if st.g_obs is None:
+        st.g_obs = _host_obs(st, ws)
     out = []
     for i in range(ws.ri.shape[0]):
         g0, g1 = int(ws.g0[i]), int(ws.g1[i])
@@ -795,6 +773,41 @@ def _materialize_windows(st: _ReadState, ws: _WindowSet,
                            int(ws.indel[i]), int(ws.ref_coord[i]),
                            flat_local=g0))
     return out
+
+
+import functools as _functools
+import jax as _jax
+
+
+@_functools.partial(_jax.jit)
+def _obs_build_jit(groups, d_flat_u8, read_starts, src_base, a, b):
+    """Rebuild the batch's flat f16 observation stream ON DEVICE from prep's
+    resident fill inputs.
+
+    The fill input row of read r holds its quantile-scaled event means;
+    the Viterbi observations are the same means under the Theil-Sen-refined
+    scaling — an affine map per read.  A window's observation stream is the
+    guard-filtered event-id walk ``g_ev`` (monotone, deltas almost always
+    0/1), so the call ships one u8 delta stream + per-read scalars instead
+    of re-uploading the f16 values (~half the bytes, zero host float work).
+
+    groups: tuple of resident (B_g, E_g) fill arrays (first-seen order);
+    d_flat_u8: concatenated per-read g_ev increments (first element of each
+    read's span is 0); read_starts: (Bp,) i32 span starts (padded tail =
+    total length); src_base: (Bp,) i32 flat index of each read's g_ev[0]
+    (group base + row*E_g + g_ev[0]); a, b: per-read affine coefficients.
+    """
+    ev_flat = jnp.concatenate(
+        [g.reshape(-1).astype(jnp.float32) for g in groups])
+    d = d_flat_u8.astype(jnp.int32)
+    cs = jnp.cumsum(d)
+    j = jnp.arange(d.shape[0], dtype=jnp.int32)
+    rid = jnp.clip(jnp.searchsorted(read_starts, j, side="right") - 1,
+                   0, read_starts.shape[0] - 1)
+    first_cs = cs[jnp.clip(read_starts[rid], 0, d.shape[0] - 1)]
+    idx = src_base[rid] + cs - first_cs
+    vals = ev_flat[jnp.clip(idx, 0, ev_flat.shape[0] - 1)]
+    return (vals * a[rid] + b[rid]).astype(jnp.float16)
 
 
 def _viterbi_windows_collect(handle) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -883,19 +896,70 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                 sets.append((st, ws, n_windows, n_windows + ws.ri.shape[0]))
                 n_windows += ws.ri.shape[0]
 
-        # upload every read's guarded observation stream once as one flat
-        # f16 array (length padded to a coarse bucket so batch size changes
-        # do not recompile the kernel)
-        obs_parts = []
-        base = 0
-        for st, ws, w0, w1 in sets:
-            st.flat_obs_base = base
-            obs_parts.append(st.g_obs)
-            base += st.g_obs.shape[0]
-        obs_flat = np.zeros(_bucket_up(base, 1 << 17), dtype=np.float16)
-        if obs_parts:
-            obs_flat[:base] = np.concatenate(obs_parts)
-        obs_flat_dev = jnp.asarray(obs_flat)
+        # the batch's flat observation stream: preferably rebuilt ON DEVICE
+        # from prep's resident fill inputs (ships u8 g_ev increments, half
+        # the bytes of the f16 values and no host float work); host build +
+        # f16 upload when a read lacks a resident array or an increment
+        # overflows u8 (pathological guard-failure runs)
+        import os as _os
+        use_resident = (
+            sets
+            and _os.environ.get("DNASCENT_RESIDENT_OBS", "1") != "0"
+            and all(st.p.events_dev is not None for st, ws, _, _ in sets))
+        obs_flat_dev = None
+        if use_resident:
+            groups: list = []
+            gbase: dict[int, int] = {}
+            d_parts, src_base, a_aff, b_aff, starts = [], [], [], [], []
+            base = 0
+            for st, ws, w0, w1 in sets:
+                p = st.p
+                key = id(p.events_dev)
+                if key not in gbase:
+                    gbase[key] = sum(int(np.prod(g.shape)) for g in groups)
+                    groups.append(p.events_dev)
+                d = np.diff(ws.g_ev, prepend=ws.g_ev[:1])
+                if d.shape[0] and int(d.max(initial=0)) > 255:
+                    use_resident = False
+                    break
+                st.flat_obs_base = base
+                starts.append(base)
+                d_parts.append(d.astype(np.uint8))
+                src_base.append(gbase[key]
+                                + p.events_row * p.events_stride
+                                + int(ws.g_ev[0]))
+                a_aff.append(p.scale_q / p.scale)
+                b_aff.append((p.shift_q - p.shift) / p.scale)
+                base += ws.g_ev.shape[0]
+            if use_resident:
+                Bp = max(8, -(-len(starts) // 8) * 8)
+                rs = np.full(Bp, base, dtype=np.int32)
+                rs[: len(starts)] = starts
+                sb = np.zeros(Bp, dtype=np.int32)
+                sb[: len(src_base)] = src_base
+                av = np.ones(Bp, dtype=np.float32)
+                av[: len(a_aff)] = a_aff
+                bv = np.zeros(Bp, dtype=np.float32)
+                bv[: len(b_aff)] = b_aff
+                d_flat = np.zeros(_bucket_up(base, 1 << 17), dtype=np.uint8)
+                if d_parts:
+                    d_flat[:base] = np.concatenate(d_parts)
+                obs_flat_dev = _obs_build_jit(
+                    tuple(groups), jnp.asarray(d_flat), jnp.asarray(rs),
+                    jnp.asarray(sb), jnp.asarray(av), jnp.asarray(bv))
+        if obs_flat_dev is None:
+            # fallback: host-built f16 stream, uploaded once
+            obs_parts = []
+            base = 0
+            for st, ws, w0, w1 in sets:
+                st.flat_obs_base = base
+                st.g_obs = _host_obs(st, ws)
+                obs_parts.append(st.g_obs)
+                base += st.g_obs.shape[0]
+            obs_flat = np.zeros(_bucket_up(base, 1 << 17), dtype=np.float16)
+            if obs_parts:
+                obs_flat[:base] = np.concatenate(obs_parts)
+            obs_flat_dev = jnp.asarray(obs_flat)
 
         # rank side: reuse prep's resident flat array when the whole batch
         # shares it, else build one per call

@@ -44,6 +44,16 @@ class PreparedRead:
     # (uploaded once; eventalign windows index into it by offset)
     flat_ranks_device: object = None
     flat_ranks_offset: int = 0
+    # quantile-scaling parameters (pre-Theil-Sen; shift/scale above hold the
+    # refined values after prep) + the banded fill's device-resident scaled
+    # event array, so eventalign can rebuild its observation stream on device
+    # instead of re-uploading it (obs = affine(events_dev[row]) since both
+    # scalings are affine in the raw event mean)
+    shift_q: float = 0.0
+    scale_q: float = 1.0
+    events_dev: object = None     # (B_g, E_g) f16/f32 fill input, resident
+    events_row: int = -1          # this read's row in events_dev
+    events_stride: int = 0        # E_g (row stride of events_dev)
 
     @property
     def passed(self) -> bool:
@@ -179,6 +189,9 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             ne, nk = p.n_events, p.n_kmers
             scaled[b, :ne] = (p.event_mean - p.shift) / p.scale
             n_ev[b], n_km[b] = ne, nk
+        for b, p in enumerate(group):
+            p.shift_q, p.scale_q = p.shift, p.scale
+            p.events_row, p.events_stride = b, E
         use_pallas = fill_backend(B, E, K) is not banded.banded_fill_jit
         if use_pallas:
             # ship u8 base codes (255 = non-ACGT), not i32 ranks: 4x fewer
@@ -191,8 +204,11 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             for b, p in enumerate(group):
                 bc = encode_bases(p.record.basecall).astype(np.uint8)
                 codes[b, : bc.shape[0]] = bc
+            scaled_dev = jnp.asarray(scaled.astype(np.float16))
+            for p in group:
+                p.events_dev = scaled_dev
             tp, rp, best_e, _ = banded_fill_pallas_from_codes_jit(
-                jnp.asarray(scaled.astype(np.float16)), jnp.asarray(codes),
+                scaled_dev, jnp.asarray(codes),
                 _device_model_table(models), jnp.asarray(n_ev),
                 jnp.asarray(n_km), bandwidth=bw,
                 epsilon_skip=cfg.banded.epsilon_skip,
@@ -206,8 +222,11 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
                                                  p.kmer_ranks_query)
             mu0, inv0, lpc0 = banded.prepare_emission_coefficients(
                 ranks, models.pore_model)
+            scaled_dev = jnp.asarray(scaled)
+            for p in group:
+                p.events_dev = scaled_dev
             tp, rp, best_e, _ = banded.banded_fill_jit(
-                jnp.asarray(scaled), jnp.asarray(mu0), jnp.asarray(inv0),
+                scaled_dev, jnp.asarray(mu0), jnp.asarray(inv0),
                 jnp.asarray(lpc0), jnp.asarray(n_ev), jnp.asarray(n_km),
                 bandwidth=bw, epsilon_skip=cfg.banded.epsilon_skip,
                 p_trim=cfg.banded.p_trim)
@@ -243,11 +262,12 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             mu_b, inv_b, lpc_b = banded.prepare_emission_coefficients(
                 p.kmer_ranks_query[None, :], models.pore_model)
             if use_device_bt:
-                pairs, cs, cr, avg_em, spanned, max_gap = \
-                    banded.decode_moves_host(
-                        packed, b, int(best_e[b]), nk, p.event_mean,
-                        scaled[b, :ne], mu_b[0], inv_b[0],
-                        lpc_b[0], q2r, p.kmer_ranks_ref)
+                decode = (native.decode_moves if native.available()
+                          else banded.decode_moves_host)
+                pairs, cs, cr, avg_em, spanned, max_gap = decode(
+                    packed, b, int(best_e[b]), nk, p.event_mean,
+                    scaled[b, :ne], mu_b[0], inv_b[0],
+                    lpc_b[0], q2r, p.kmer_ranks_ref)
             else:
                 tr, rg = banded.unpack_trace(tp[:, b : b + 1],
                                              rp[:, b : b + 1], n_bands)
