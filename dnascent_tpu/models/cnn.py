@@ -73,13 +73,19 @@ class ConvBlock(nn.Module):
 
 
 class DetectCNN(nn.Module):
-    """Per-position analogue classifier with the reference's input contract."""
+    """Per-position analogue classifier with the reference's input contract.
 
-    d_model: int = 256
-    d_core: int = 96
+    Default sizing is matched to the reference model's scale: its SavedModel
+    manifest (reference_cnn_manifest.json, from dnn_models/.../variables.index)
+    shows a ~64-channel separable-conv stack, so a 128-channel dense-conv
+    stack with 8 dilated blocks (receptive field ~265 positions) carries
+    comfortably more capacity while keeping the MXU time per batch small."""
+
+    d_model: int = 128
+    d_core: int = 64
     d_residual: int = 32
-    d_signal: int = 128
-    dilations: tuple = (1, 2, 4, 8, 16, 32, 1, 2, 4, 8, 16, 32)
+    d_signal: int = 96
+    dilations: tuple = (1, 2, 4, 8, 16, 32, 1, 2)
     kernel: int = 5
 
     @nn.compact
