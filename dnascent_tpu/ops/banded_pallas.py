@@ -378,3 +378,4 @@ def banded_fill_pallas_from_ranks_jit(scaled_events, ranks, model_table,
     the three f32 coefficient planes; scaled events may arrive f16."""
     return _fill_from_ranks(scaled_events, ranks, model_table, n_events,
                             n_kmers, bandwidth, epsilon_skip, p_trim)
+
