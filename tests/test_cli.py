@@ -147,3 +147,36 @@ def test_cli_forksense_and_seebreaks(tmp_path, monkeypatch):
                    "-d", detect_path, "-o", sb_out])
     assert rc == 0
     assert "#nForks" in open(sb_out).read()
+
+
+def test_cli_detect_resume(dataset, tmp_path):
+    """--resume: a second run appends only the reads missing from the
+    output (here: none, so the file is unchanged)."""
+    out = os.path.join(tmp_path, "resume.detect")
+    args = ["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
+            "-i", dataset.index, "-o", out, "-l", "1000"]
+    assert cli.main(args) == 0
+    first = open(out).read()
+    n_reads = first.count("\n>") + first.startswith(">")
+    assert cli.main(args + ["--resume"]) == 0
+    second = open(out).read()
+    assert second.count("\n>") + second.startswith(">") == n_reads
+    body = lambda t: [l for l in t.splitlines() if l and l[0] != "#"]
+    assert body(second) == body(first)
+
+
+def test_cli_detect_strict_windows(dataset, tmp_path):
+    """--strict-windows (the reference's sequential window coupling) runs
+    end to end and emits the same read set as fast mode."""
+    out = os.path.join(tmp_path, "strict.detect")
+    rc = cli.main(["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
+                   "-i", dataset.index, "-o", out, "-l", "1000",
+                   "--strict-windows"])
+    assert rc == 0
+    text = open(out).read()
+    assert text.count("\n>") + text.startswith(">") >= 3
+    rows = [l for l in text.splitlines() if l and l[0] not in "#>"]
+    assert len(rows) > 500
+    for r in rows[:50]:
+        cols = r.split("\t")
+        assert len(cols) == 4 and cols[3][4] == "T"
