@@ -70,6 +70,11 @@ def _load():
             i64p, i64p, i64p, i64p, i64p, i64p, i64p, u8p, i64p,
             u8p, i64p, f32p, i64, i64p, i64p,
         ]
+        lib.window_chain.restype = i64
+        lib.window_chain.argtypes = [
+            i64p, i64p, i64, i64p, i64p, i64p, i64, i64, i64,
+            i64p, i64p, i64p, i64p,
+        ]
         lib.decode_moves.restype = i64
         lib.decode_moves.argtypes = [
             u8p, i64, i64, i64, i64, i64,
@@ -162,6 +167,29 @@ def banded_backtrace(trace: np.ndarray, rights: np.ndarray, n_bands: int,
     return (pairs[: 2 * m].reshape(-1, 2).copy(), cs[:n_cleaned].copy(),
             cr[:n_cleaned].copy(), float(stats[0]), bool(stats[1]),
             int(stats[2]))
+
+
+def window_chain(undef_cum: np.ndarray, bp_pos: np.ndarray,
+                 next_bp: np.ndarray, j_at: np.ndarray, guard_cum: np.ndarray,
+                 ref_len: int, k: int, total_wl: int):
+    """Native twin of the scalar window chain in
+    eventalign._build_window_set.  Returns (ri, wl, j0, j1) i64 arrays."""
+    lib = get_lib()
+    # worst case one window per kmer position (short tail windows)
+    n_max = max(1, ref_len - k + 2)
+    ri = np.empty(n_max, np.int64)
+    wl = np.empty(n_max, np.int64)
+    j0 = np.empty(n_max, np.int64)
+    j1 = np.empty(n_max, np.int64)
+    n = lib.window_chain(
+        np.ascontiguousarray(undef_cum, np.int64),
+        np.ascontiguousarray(bp_pos, np.int64), int(bp_pos.shape[0]),
+        np.ascontiguousarray(next_bp, np.int64),
+        np.ascontiguousarray(j_at, np.int64),
+        np.ascontiguousarray(guard_cum, np.int64),
+        int(ref_len), int(k), int(total_wl), ri, wl, j0, j1)
+    n = int(n)
+    return ri[:n], wl[:n], j0[:n], j1[:n]
 
 
 def decode_moves(packed: np.ndarray, col: int, best_event: int, n_kmers: int,

@@ -392,6 +392,58 @@ int64_t process_read_windows(
 }
 
 // ---------------------------------------------------------------------------
+// Fast-mode window chain (twin of the scalar loop in
+// pipeline/eventalign._build_window_set; window rules from
+// alignment.cpp:555-650 with the full-span advance departure)
+// ---------------------------------------------------------------------------
+
+// All lookup tables are precomputed vectorised on the host; this walks the
+// inherently sequential chain of window starts.  Returns the window count.
+int64_t window_chain(const int64_t* undef_cum, const int64_t* bp_pos,
+                     int64_t n_bp, const int64_t* next_bp,
+                     const int64_t* j_at, const int64_t* guard_cum,
+                     int64_t ref_len, int64_t k, int64_t total_wl,
+                     int64_t* ri_out, int64_t* wl_out, int64_t* j0_out,
+                     int64_t* j1_out) {
+    const int64_t n_kmer_max = ref_len - k + 1;
+    int64_t n = 0;
+    int64_t ri = 0;
+    while (ri < n_kmer_max) {
+        int64_t bases_to_end = ref_len - ri;
+        int64_t wl = bases_to_end < total_wl ? bases_to_end : total_wl;
+        if (2 * bases_to_end > 3 * total_wl) {
+            // here wl == total_wl; int(1.5*wl) == (3*wl)/2 for wl >= 0
+            int64_t snip_len = (3 * wl) / 2;
+            if (undef_cum[ri + snip_len] - undef_cum[ri]) {
+                ri += wl;
+                continue;
+            }
+            int64_t limit = (3 * wl) / 2 - k - 1;
+            int64_t bi = next_bp[ri + wl];
+            if (bi < n_bp && bp_pos[bi] < ri + limit)
+                wl = bp_pos[bi] - ri + k;
+        }
+        if (undef_cum[ri + wl] - undef_cum[ri]) {
+            ri += wl;
+            continue;
+        }
+        int64_t j0 = j_at[ri];
+        int64_t j1 = j_at[ri + wl - k + 1];
+        if (j1 <= j0 || guard_cum[j1] - guard_cum[j0] < 2) {
+            ri += wl;
+            continue;
+        }
+        ri_out[n] = ri;
+        wl_out[n] = wl;
+        j0_out[n] = j0;
+        j1_out[n] = j1;
+        ++n;
+        ri += wl - k + 1;
+    }
+    return n;
+}
+
+// ---------------------------------------------------------------------------
 // Packed-move backtrace decode (twin of ops/banded.decode_moves_host)
 // ---------------------------------------------------------------------------
 

@@ -282,34 +282,44 @@ def _build_window_set(st: _ReadState, cfg: SubstrateConfig,
     next_bp = np.searchsorted(bp_pos, np.arange(m.shape[0] + total_wl + 1))
 
     # the chain of window starts is inherently sequential (each advance
-    # depends on the previous window's length), but every step is now a
-    # couple of scalar lookups
-    metas: list[tuple[int, int, int, int]] = []
-    ri = 0
-    while ri < n_kmer_max:
-        bases_to_end = ref_len - ri
-        wl = min(bases_to_end, total_wl)
-        if bases_to_end > 1.5 * total_wl:
-            snip_len = int(1.5 * wl)
-            if undef_cum[ri + snip_len] - undef_cum[ri]:
+    # depends on the previous window's length), but every step is a couple
+    # of scalar lookups — GIL-released C++ when available, python otherwise
+    from .. import native
+    if native.available():
+        ri_a, wl_a, j0_a, j1_a = native.window_chain(
+            undef_cum, bp_pos, next_bp, j_at, guard_cum, ref_len, k,
+            total_wl)
+        if ri_a.shape[0] == 0:
+            return None
+    else:
+        metas: list[tuple[int, int, int, int]] = []
+        ri = 0
+        while ri < n_kmer_max:
+            bases_to_end = ref_len - ri
+            wl = min(bases_to_end, total_wl)
+            if bases_to_end > 1.5 * total_wl:
+                snip_len = int(1.5 * wl)
+                if undef_cum[ri + snip_len] - undef_cum[ri]:
+                    ri += wl
+                    continue
+                limit = int(1.5 * wl - k - 1)
+                bi = next_bp[ri + wl]
+                if bi < bp_pos.shape[0] and bp_pos[bi] < ri + limit:
+                    wl = int(bp_pos[bi]) - ri + k
+            if undef_cum[ri + wl] - undef_cum[ri]:
                 ri += wl
                 continue
-            limit = int(1.5 * wl - k - 1)
-            bi = next_bp[ri + wl]
-            if bi < bp_pos.shape[0] and bp_pos[bi] < ri + limit:
-                wl = int(bp_pos[bi]) - ri + k
-        if undef_cum[ri + wl] - undef_cum[ri]:
-            ri += wl
-            continue
-        j0 = j_at[ri]
-        j1 = j_at[ri + wl - k + 1]
-        if j1 <= j0 or guard_cum[j1] - guard_cum[j0] < 2:
-            ri += wl
-            continue
-        metas.append((ri, wl, int(j0), int(j1)))
-        ri += wl - k + 1
-    if not metas:
-        return None
+            j0 = j_at[ri]
+            j1 = j_at[ri + wl - k + 1]
+            if j1 <= j0 or guard_cum[j1] - guard_cum[j0] < 2:
+                ri += wl
+                continue
+            metas.append((ri, wl, int(j0), int(j1)))
+            ri += wl - k + 1
+        if not metas:
+            return None
+        m = np.asarray(metas, dtype=np.int64)
+        ri_a, wl_a, j0_a, j1_a = m[:, 0], m[:, 1], m[:, 2], m[:, 3]
 
     # windows view into the read's guarded event/observation streams (the
     # per-window [j0, j1) pair spans map to contiguous [g0, g1) spans of the
@@ -319,8 +329,6 @@ def _build_window_set(st: _ReadState, cfg: SubstrateConfig,
     # computes them host-side (_host_obs).
     g_ev = pairs[guard_ok, 0]
 
-    m = np.asarray(metas, dtype=np.int64)
-    ri_a, wl_a, j0_a, j1_a = m[:, 0], m[:, 1], m[:, 2], m[:, 3]
     g0 = guard_cum[j0_a]
     g1 = np.minimum(guard_cum[j1_a], g0 + t_cap)
     ns = wl_a - k + 1
