@@ -81,6 +81,32 @@ def _detect_parser(prog, min_l_default):
     p.add_argument("--cnn-weights", default=None,
                    help="npz weights for the detect CNN (dnascent-tpu "
                    "extension; untrained weights otherwise)")
+    p.add_argument("--model", default=None,
+                   help="reference TF SavedModel directory "
+                   "(dnn_models/detect_model_BrdUEdU_DNAr10_4_1): runs the "
+                   "reference's trained CNN topology on TPU — requires the "
+                   "variables.data-* shards (src/tensor.cpp:12-106)")
+    p.add_argument("--allow-untrained-cnn", action="store_true",
+                   help="run the CNN path with untrained (random) weights — "
+                   "for pipeline testing only; analogue probabilities are "
+                   "noise.  Without this flag detect refuses to run without "
+                   "--cnn-weights, like the reference refuses without its "
+                   "SavedModel (src/tensor.cpp:48)")
+    p.add_argument("--devices", default=None,
+                   help="shard pipeline batches over N local devices "
+                   "('all' = every visible device; dnascent-tpu extension — "
+                   "replaces the reference's OpenMP read loop, "
+                   "src/detect.cpp:852)")
+    p.add_argument("--nprocs", type=int, default=1,
+                   help="number of cooperating processes/hosts (each takes "
+                   "every nprocs-th read; shard outputs are merged "
+                   "deterministically)")
+    p.add_argument("--procid", type=int, default=None,
+                   help="this process's index in [0, nprocs); defaults to "
+                   "jax.process_index() when --coordinator is used")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of the jax.distributed coordinator "
+                   "(multi-host runs)")
     p.add_argument("--resume", action="store_true",
                    help="skip reads already present in the output file "
                    "(dnascent-tpu extension: restartable runs)")
@@ -91,7 +117,7 @@ def _detect_parser(prog, min_l_default):
     return p
 
 
-def _open_source(a, cfg, min_l):
+def _open_source(a, cfg, min_l, shard=None):
     from .io.fasta import import_reference
     from .io.index_io import parse_index
     from .pipeline.source import BamSignalSource
@@ -100,19 +126,51 @@ def _open_source(a, cfg, min_l):
     missing_log = []
     src = BamSignalSource(a.bam, ref, idx, min_mapq=a.quality,
                           min_length=min_l, max_reads=a.maxReads,
-                          on_missing=missing_log.append)
+                          on_missing=missing_log.append, shard=shard)
     return src, ref, missing_log
+
+
+def _setup_parallel(a):
+    """Activate the compute mesh / distributed runtime from the detect-family
+    flags; returns (process_index, process_count)."""
+    from .parallel import compute
+    from .parallel.mesh import init_distributed
+    if a.coordinator:
+        init_distributed(a.coordinator, a.nprocs, a.procid)
+    procid = a.procid
+    if procid is None:
+        if a.coordinator:
+            import jax
+            procid = jax.process_index()
+        else:
+            procid = 0
+    if a.devices:
+        n = None if a.devices == "all" else int(a.devices)
+        compute.set_compute_mesh(compute.make_data_mesh(n))
+    return procid, max(1, a.nprocs)
 
 
 def _load_cnn(a):
     from .models import cnn as cnn_mod
+    if a.model:
+        from .models import reference_cnn
+        return reference_cnn.load_savedmodel(a.model)
     model = cnn_mod.create_model()
     if a.cnn_weights and os.path.exists(a.cnn_weights):
         params = cnn_mod.load_params(a.cnn_weights)
-    else:
+    elif a.allow_untrained_cnn:
         params = cnn_mod.default_params(model)
-        print("Warning: no trained CNN weights supplied (--cnn-weights); "
-              "analogue probabilities will be untrained.", file=sys.stderr)
+        print("Warning: --allow-untrained-cnn — analogue probabilities "
+              "will be noise (no trained CNN weights supplied).",
+              file=sys.stderr)
+    else:
+        # the reference refuses to run without its trained SavedModel
+        # (src/tensor.cpp:48); random weights silently emitting noise
+        # probabilities would be worse than failing here
+        raise SystemExit(
+            "Exiting with error.  No trained CNN weights: pass "
+            "--cnn-weights <npz> (or --allow-untrained-cnn to force "
+            "untrained weights for pipeline testing).")
     return model, params
 
 
@@ -125,14 +183,24 @@ def main_detect(argv):
         return 1
     human_readable = ext == "detect"
     cfg = DNA_R10
+    procid, nprocs = _setup_parallel(a)
+    shard = (procid, nprocs) if nprocs > 1 else None
+    if shard and not human_readable:
+        print("--nprocs > 1 supports human-readable .detect output only "
+              "(shards are merged as text)", file=sys.stderr)
+        return 1
+    out_path = a.output
+    if shard:
+        from .parallel.merge import host_shard_path
+        out_path = host_shard_path(a.output, procid)
     models = _load_models(cfg)
-    src, ref, missing = _open_source(a, cfg, a.length)
+    src, ref, missing = _open_source(a, cfg, a.length, shard=shard)
 
     done_ids = set()
-    if a.resume and human_readable and os.path.exists(a.output):
+    if a.resume and human_readable and os.path.exists(out_path):
         # checkpoint/resume: the reference restarts whole runs only (SURVEY
         # §5); here completed reads are skipped and output is appended
-        with open(a.output) as fh:
+        with open(out_path) as fh:
             for line in fh:
                 if line.startswith(">"):
                     done_ids.add(line[1:].split()[0])
@@ -146,7 +214,7 @@ def main_detect(argv):
     stats = DetectStats()
     if a.HMM:
         from .pipeline.hmm_detect import hmm_detect_reads
-        writer = DetectHRWriter(a.output) if human_readable else None
+        writer = DetectHRWriter(out_path) if human_readable else None
         if writer is None:
             print("--HMM supports human-readable output only (as in the "
                   "reference's legacy path)", file=sys.stderr)
@@ -162,7 +230,7 @@ def main_detect(argv):
         model, params = _load_cnn(a)
         if human_readable:
             mode = "a" if (a.resume and done_ids) else "w"
-            with DetectHRWriter(a.output, mode=mode) as w:
+            with DetectHRWriter(out_path, mode=mode) as w:
                 if mode == "w":
                     w.write_header(detect_header(a.bam, a.reference, a.index,
                                                  a.threads, a.quality,
@@ -183,11 +251,29 @@ def main_detect(argv):
                         src, models, model, params, cfg, stats=stats,
                         strict_windows=a.strict_windows):
                     w.write(d)
-    log = os.path.splitext(a.output)[0] + ".detect.log"
+    log = os.path.splitext(out_path)[0] + ".detect.log"
     with open(log, "w") as fh:
         for rid in missing:
             fh.write(f"ReadID {rid} missing from index. Skipping.\n")
     print(f"\ndetect: {stats.processed} reads, {stats.failed} failed QC")
+    if shard:
+        # deterministic shard merge: with a coordinator every host reaches
+        # this barrier and host 0 merges; without one (independent shard
+        # runs) whichever invocation completes the set merges
+        from .parallel.merge import (all_shards_present, host_shard_path,
+                                     merge_host_outputs)
+        if a.coordinator:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("detect_shards_done")
+        if (procid == 0 or not a.coordinator) and all_shards_present(
+                a.output, nprocs):
+            n = merge_host_outputs(
+                [host_shard_path(a.output, i) for i in range(nprocs)],
+                a.output)
+            print(f"merged {nprocs} shards -> {a.output} ({n} reads)")
+        elif not a.coordinator:
+            print(f"shard {procid}/{nprocs} written to {out_path}; the "
+                  "final shard run merges all shards", file=sys.stderr)
     return 0
 
 
@@ -195,6 +281,7 @@ def main_align(argv):
     p = _detect_parser("dnascent-tpu align", 100)
     a = p.parse_args(argv)
     cfg = DNA_R10
+    _setup_parallel(a)   # align shards its Viterbi batches over --devices
     models = _load_models(cfg)
     src, ref, missing = _open_source(a, cfg, a.length)
     from .io.writers import AlignHRWriter
@@ -373,6 +460,7 @@ def main_traincnn(argv):
     p = _detect_parser("dnascent-tpu trainCNN", 100)
     a = p.parse_args(argv)
     cfg = DNA_R10
+    _setup_parallel(a)
     models = _load_models(cfg)
     src, ref, missing = _open_source(a, cfg, a.length)
     model, params = _load_cnn(a)

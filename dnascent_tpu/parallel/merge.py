@@ -5,69 +5,94 @@ The reference is single-process, so output order is BAM record order
 results to ``<out>.host<k>``; this module merges them into one file in a
 canonical order — (contig, refStart, refEnd, readID) — so results are
 byte-stable regardless of host count or scheduling.
+
+Merging streams: shards are indexed first (one (sort_key, file offset,
+length) tuple per read block), the index is sorted, and blocks are copied
+by seek+read — memory stays O(#reads), not O(file bytes), which matters for
+PromethION-scale detect files (tens of GB).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Iterator
+from dataclasses import dataclass
 
 
-def _read_blocks(path: str):
-    """Split a detect/forkSense/align-style file into (sort_key, text
-    block) per read, passing through the header."""
+@dataclass
+class _Block:
+    key: tuple
+    path_i: int
+    offset: int
+    length: int
+
+
+def _index_blocks(path: str, path_i: int):
+    """Scan a detect/forkSense/align-style file once, recording the byte
+    span of each ``>readID ...`` block and passing through the header."""
     header_lines = []
-    blocks = []
+    blocks: list[_Block] = []
     cur_key = None
-    cur: list[str] = []
-    with open(path) as fh:
+    cur_off = 0
+    off = 0
+    with open(path, "rb") as fh:
         for line in fh:
-            if line.startswith("#"):
-                header_lines.append(line)
+            if line.startswith(b"#"):
+                header_lines.append(line.decode())
+                off += len(line)
                 continue
-            if line.startswith(">"):
+            if line.startswith(b">"):
                 if cur_key is not None:
-                    blocks.append((cur_key, "".join(cur)))
+                    blocks.append(_Block(cur_key, path_i, cur_off,
+                                         off - cur_off))
                 fields = line[1:].split()
                 # (contig, refStart, refEnd, readID)
-                cur_key = (fields[1], int(fields[2]), int(fields[3]),
-                           fields[0])
-                cur = [line]
-            elif cur_key is not None:
-                cur.append(line)
+                cur_key = (fields[1].decode(), int(fields[2]),
+                           int(fields[3]), fields[0].decode())
+                cur_off = off
+            off += len(line)
     if cur_key is not None:
-        blocks.append((cur_key, "".join(cur)))
+        blocks.append(_Block(cur_key, path_i, cur_off, off - cur_off))
     return "".join(header_lines), blocks
 
 
 def merge_host_outputs(shard_paths: list[str], output_path: str) -> int:
-    """Merge per-host human-readable outputs deterministically.  Returns the
-    number of reads written."""
-    all_blocks = []
+    """Merge per-host human-readable outputs deterministically (streaming —
+    only the block index is held in memory).  Returns the number of reads
+    written."""
+    paths = sorted(shard_paths)
     header = ""
-    for p in sorted(shard_paths):
-        h, blocks = _read_blocks(p)
+    all_blocks: list[_Block] = []
+    for i, p in enumerate(paths):
+        h, blocks = _index_blocks(p, i)
         if h and not header:
             header = h
         all_blocks.extend(blocks)
-    all_blocks.sort(key=lambda kb: kb[0])
-    with open(output_path, "w") as out:
-        out.write(header)
-        for _, text in all_blocks:
-            out.write(text)
+    all_blocks.sort(key=lambda b: b.key)
+    handles = [open(p, "rb") for p in paths]
+    try:
+        with open(output_path, "wb") as out:
+            out.write(header.encode())
+            for b in all_blocks:
+                fh = handles[b.path_i]
+                fh.seek(b.offset)
+                out.write(fh.read(b.length))
+    finally:
+        for fh in handles:
+            fh.close()
     return len(all_blocks)
 
 
 def merge_bed_outputs(shard_paths: list[str], output_path: str) -> int:
     """Merge per-host bed files: header from the first shard, rows sorted by
     (contig, start, end, readID)."""
+    paths = sorted(shard_paths)
     header_lines: list[str] = []
     rows = []
-    for p in sorted(shard_paths):
+    for i, p in enumerate(paths):
         with open(p) as fh:
             for line in fh:
                 if line.startswith("#"):
-                    if p == sorted(shard_paths)[0]:
+                    if i == 0:
                         header_lines.append(line)
                     continue
                 cols = line.split()
@@ -84,3 +109,8 @@ def merge_bed_outputs(shard_paths: list[str], output_path: str) -> int:
 
 def host_shard_path(output_path: str, process_index: int) -> str:
     return f"{output_path}.host{process_index}"
+
+
+def all_shards_present(output_path: str, process_count: int) -> bool:
+    return all(os.path.exists(host_shard_path(output_path, i))
+               for i in range(process_count))

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..config import SubstrateConfig, DNA_R10
 from ..io.poremodel import PoreModelSet
 from ..models import cnn as cnn_mod
+from ..parallel import compute
 from ..utils.seqtools import _COMP_TABLE as _COMP_U8
 from .eventalign import AlignedPositions, run_eventalign
 from .prep import PreparedRead, prepare_reads
@@ -115,7 +116,9 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
         bs = max(1, batch_positions // L)
         for i in range(0, len(group), bs):
             chunk = group[i : i + bs]
-            B = len(chunk)
+            # rows padded to the compute mesh's data extent (padded rows
+            # have zero counts / index 0 and are never gathered)
+            B = compute.pad_rows(len(chunk))
             shared_flat = chunk[0][0].flat_ranks_device
             use_ranks = shared_flat is not None and all(
                 p.flat_ranks_device is shared_flat for p, _ in chunk)
@@ -182,15 +185,16 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
                             if ks_delta32.max(initial=0) < 256
                             else ks_delta32.astype(np.uint16))
                 probs_dev = cnn_mod.apply_model_from_flat_ranks_f16(
-                    model, params, jnp.asarray(ks_base),
-                    jnp.asarray(ks_delta), jnp.asarray(flat_off),
-                    jnp.asarray(n_pos), shared_flat, jnp.asarray(flat),
-                    jnp.asarray(counts), jnp.asarray(t_delta))
+                    model, params, compute.put_rows(ks_base),
+                    compute.put_rows(ks_delta), compute.put_rows(flat_off),
+                    compute.put_rows(n_pos), shared_flat,
+                    compute.put_rep(flat), compute.put_rows(counts),
+                    compute.put_rep(t_delta))
             else:
                 probs_dev = cnn_mod.apply_model_flat_f16(
-                    model, params, jnp.asarray(core), jnp.asarray(resid),
-                    jnp.asarray(flat), jnp.asarray(counts),
-                    jnp.asarray(t_delta))
+                    model, params, compute.put_rows(core),
+                    compute.put_rows(resid), compute.put_rep(flat),
+                    compute.put_rows(counts), compute.put_rep(t_delta))
             from .eventalign import _enqueue_d2h
             _enqueue_d2h(probs_dev)
             dispatched.append((chunk, t_spans, probs_dev))
@@ -247,6 +251,9 @@ def detect_reads(records: Iterable[ReadRecord], models: PoreModelSet,
         model = cnn_mod.create_model()
     if params is None:
         params = cnn_mod.default_params(model)
+    # CNN params ride replicated over the active compute mesh (the
+    # reference replicates its SavedModel per GPU; SURVEY §2.3)
+    params = compute.put_rep_tree(params)
 
     def process(batch):
         prepped = prepare_reads(batch, models, cfg)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..config import SubstrateConfig, DNA_R10
 from ..io.poremodel import PoreModelSet
 from ..ops import viterbi as vit
+from ..parallel import compute
 from ..utils.seqtools import (encode_bases, core_index_from_codes,
                               residual_index_from_codes)
 from .prep import PreparedRead
@@ -631,10 +632,10 @@ _MODEL_TABLE_CACHE: dict[int, object] = {}
 def _device_model_table(models: PoreModelSet):
     """Upload the pore-model table once per process; jax reuses the resident
     array across viterbi calls."""
-    key = id(models.pore_model)
+    key = (id(models.pore_model), id(compute.get_compute_mesh()))
     t = _MODEL_TABLE_CACHE.get(key)
     if t is None:
-        t = jnp.asarray(models.pore_model.astype(np.float32))
+        t = compute.put_rep(models.pore_model.astype(np.float32))
         _MODEL_TABLE_CACHE.clear()
         _MODEL_TABLE_CACHE[key] = t
     return t
@@ -652,6 +653,7 @@ def _viterbi_windows_dispatch(windows: list[_Window], models: PoreModelSet,
     W = 8
     while W < len(windows):
         W *= 2
+    W = compute.pad_rows(W)
     n = len(windows)
     obs_list = [w.obs_scaled for w in windows]
     lens = np.fromiter((o.shape[0] for o in obs_list), np.int64, n)
@@ -689,14 +691,16 @@ def _viterbi_windows_dispatch(windows: list[_Window], models: PoreModelSet,
             (w.state.p.flat_ranks_offset + w.ref_index for w in windows),
             np.int64, n)
         pc, pl, _score = vit.viterbi_from_flat_ranks_jit(
-            jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(starts), flat,
-            _device_model_table(models), jnp.asarray(n_states),
-            jnp.asarray(epb), hmm_probs, N)
+            compute.put_rows(obs), compute.put_rows(n_obs),
+            compute.put_rows(starts), flat,
+            _device_model_table(models), compute.put_rows(n_states),
+            compute.put_rows(epb), hmm_probs, N)
     else:
         pc, pl, _score = vit.viterbi_from_ranks_jit(
-            jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(rk),
-            _device_model_table(models), jnp.asarray(n_states),
-            jnp.asarray(epb), hmm_probs)
+            compute.put_rows(obs), compute.put_rows(n_obs),
+            compute.put_rows(rk),
+            _device_model_table(models), compute.put_rows(n_states),
+            compute.put_rows(epb), hmm_probs)
     _enqueue_d2h(pc, pl)
     return pc, pl, ns_arr, len(windows)
 
@@ -740,6 +744,7 @@ def _viterbi_dispatch_flat_arrays(lens: np.ndarray, ostarts: np.ndarray,
         W *= 2
     if n > _gran:
         W = -(-n // _gran) * _gran
+    W = compute.pad_rows(W)
     T = next(b for b in t_buckets if b >= int(lens.max()))
     n_obs = np.zeros(W, dtype=np.int32)
     n_obs[:n] = lens
@@ -752,9 +757,10 @@ def _viterbi_dispatch_flat_arrays(lens: np.ndarray, ostarts: np.ndarray,
     epb_p = np.ones(W, dtype=np.float32)
     epb_p[:n] = epb
     pc, pl, _score = vit.viterbi_from_flat_jit(
-        obs_flat_dev, jnp.asarray(ostarts_p), jnp.asarray(n_obs),
-        jnp.asarray(rstarts_p), ranks_flat_dev, _device_model_table(models),
-        jnp.asarray(n_states), jnp.asarray(epb_p), hmm_probs, n_state_pad, T)
+        obs_flat_dev, compute.put_rows(ostarts_p), compute.put_rows(n_obs),
+        compute.put_rows(rstarts_p), ranks_flat_dev,
+        _device_model_table(models), compute.put_rows(n_states),
+        compute.put_rows(epb_p), hmm_probs, n_state_pad, T)
     _enqueue_d2h(pc, pl)
     return pc, pl, ns, n
 
@@ -953,8 +959,9 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                 if d_parts:
                     d_flat[:base] = np.concatenate(d_parts)
                 obs_flat_dev = _obs_build_jit(
-                    tuple(groups), jnp.asarray(d_flat), jnp.asarray(rs),
-                    jnp.asarray(sb), jnp.asarray(av), jnp.asarray(bv))
+                    tuple(groups), compute.put_rep(d_flat),
+                    compute.put_rep(rs), compute.put_rep(sb),
+                    compute.put_rep(av), compute.put_rep(bv))
         if obs_flat_dev is None:
             # fallback: host-built f16 stream, uploaded once
             obs_parts = []
@@ -967,7 +974,7 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
             obs_flat = np.zeros(_bucket_up(base, 1 << 17), dtype=np.float16)
             if obs_parts:
                 obs_flat[:base] = np.concatenate(obs_parts)
-            obs_flat_dev = jnp.asarray(obs_flat)
+            obs_flat_dev = compute.put_rep(obs_flat)
 
         # rank side: reuse prep's resident flat array when the whole batch
         # shares it, else build one per call
@@ -990,7 +997,7 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
             rk_flat = np.zeros(_bucket_up(off, 1 << 16), dtype=np.int32)
             if parts:
                 rk_flat[:off] = np.concatenate(parts)
-            ranks_flat_dev = jnp.asarray(rk_flat)
+            ranks_flat_dev = compute.put_rep(rk_flat)
 
         # per-window global arrays — all vector ops, no per-window Python
         if sets:

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..config import SubstrateConfig, DNA_R10
 from ..io.poremodel import PoreModelSet
 from ..ops import banded, reference as refops, scaling
+from ..parallel import compute
 from ..utils.seqtools import kmer_ranks
 from .source import ReadRecord
 from .. import native
@@ -153,8 +154,12 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
 
     def fill_backend(B, E, K):
         """Pallas on accelerators when the inputs fit VMEM; XLA scan
-        otherwise (and always on CPU, where Pallas would interpret)."""
-        if jax.default_backend() == "cpu":
+        otherwise (and always on CPU, where Pallas would interpret, and
+        under an active multi-device compute mesh, where the XLA fill is
+        batch-partitioned by GSPMD — pallas_call has no partitioning rule,
+        so it would replicate instead of shard)."""
+        if (jax.default_backend() == "cpu"
+                or compute.data_axis_size() > 1):
             return banded.banded_fill_jit
         if _pallas_fill_batch(E, K) < _pad8(B):
             return banded.banded_fill_jit
@@ -170,7 +175,11 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
     split_groups = []
     for (E, K), group in buckets.items():
         cap = MAX_FILL_B
-        if jax.default_backend() != "cpu":
+        if compute.data_axis_size() > 1:
+            # XLA fill shards over the mesh: scale the batch so every
+            # device still sees a full MAX_FILL_B slab per dispatch
+            cap = MAX_FILL_B * compute.data_axis_size()
+        elif jax.default_backend() != "cpu":
             cap = min(cap, _pallas_fill_batch(E, K)) or MAX_FILL_B
         for c in range(0, len(group), cap):
             split_groups.append(((E, K), group[c : c + cap]))
@@ -181,7 +190,10 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
     # kernels asynchronously, so groups overlap); phase 2 collects results
     dispatched = []
     for (E, K), group in split_groups:
-        B = len(group)
+        # rows padded to the compute mesh's data extent (padded rows carry
+        # zero events/kmers; their fill output is garbage-but-defined and
+        # never decoded)
+        B = compute.pad_rows(len(group))
         scaled = np.zeros((B, E), dtype=np.float32)
         n_ev = np.zeros(B, dtype=np.int32)
         n_km = np.zeros(B, dtype=np.int32)
@@ -204,13 +216,13 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             for b, p in enumerate(group):
                 bc = encode_bases(p.record.basecall).astype(np.uint8)
                 codes[b, : bc.shape[0]] = bc
-            scaled_dev = jnp.asarray(scaled.astype(np.float16))
+            scaled_dev = compute.put_rows(scaled.astype(np.float16))
             for p in group:
                 p.events_dev = scaled_dev
             tp, rp, best_e, _ = banded_fill_pallas_from_codes_jit(
-                scaled_dev, jnp.asarray(codes),
-                _device_model_table(models), jnp.asarray(n_ev),
-                jnp.asarray(n_km), bandwidth=bw,
+                scaled_dev, compute.put_rows(codes),
+                _device_model_table(models), compute.put_rows(n_ev),
+                compute.put_rows(n_km), bandwidth=bw,
                 epsilon_skip=cfg.banded.epsilon_skip,
                 p_trim=cfg.banded.p_trim)
         else:
@@ -222,12 +234,13 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
                                                  p.kmer_ranks_query)
             mu0, inv0, lpc0 = banded.prepare_emission_coefficients(
                 ranks, models.pore_model)
-            scaled_dev = jnp.asarray(scaled)
+            scaled_dev = compute.put_rows(scaled)
             for p in group:
                 p.events_dev = scaled_dev
             tp, rp, best_e, _ = banded.banded_fill_jit(
-                scaled_dev, jnp.asarray(mu0), jnp.asarray(inv0),
-                jnp.asarray(lpc0), jnp.asarray(n_ev), jnp.asarray(n_km),
+                scaled_dev, compute.put_rows(mu0), compute.put_rows(inv0),
+                compute.put_rows(lpc0), compute.put_rows(n_ev),
+                compute.put_rows(n_km),
                 bandwidth=bw, epsilon_skip=cfg.banded.epsilon_skip,
                 p_trim=cfg.banded.p_trim)
         use_device_bt = jax.default_backend() != "cpu"
@@ -238,7 +251,8 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             # the others' fills (sequential blocking downloads each pay the
             # tunnel's ~35 ms round trip)
             packed_dev = banded.backtrace_moves_device(
-                tp, rp, jnp.asarray(best_e), jnp.asarray(n_km), bandwidth=bw)
+                tp, rp, jnp.asarray(best_e), compute.put_rows(n_km),
+                bandwidth=bw)
             _enqueue_d2h(packed_dev, best_e)
             dispatched.append((group, scaled, None, None, packed_dev, best_e,
                                use_device_bt))
@@ -293,21 +307,23 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
     live2 = [p for p in live if p.passed]
     if live2:
         mp = cfg.scaling.theilsen_max_points
-        B = len(live2)
+        B = compute.pad_rows(len(live2))
         sig = np.zeros((B, mp), dtype=np.float32)
         mms = np.zeros((B, mp), dtype=np.float32)
         npts = np.zeros(B, dtype=np.int32)
-        passth = np.zeros(B, dtype=bool)
+        # padded rows pass through untouched (shift 0 / scale 1, discarded)
+        passth = np.ones(B, dtype=bool)
         sh = np.zeros(B, dtype=np.float32)
-        sc = np.zeros(B, dtype=np.float32)
+        sc = np.ones(B, dtype=np.float32)
         for b, p in enumerate(live2):
             cs, cr = cleaned_per_read[id(p)]
             sig[b], mms[b], npts[b], passth[b] = scaling.theilsen_pregather(
                 cs, cr, models.pore_model, mp, cfg.scaling.theilsen_trim)
             sh[b], sc[b] = p.shift, p.scale
         new_sh, new_sc = scaling.theilsen_refine_pregathered(
-            jnp.asarray(sig), jnp.asarray(mms), jnp.asarray(npts),
-            jnp.asarray(passth), jnp.asarray(sh), jnp.asarray(sc),
+            compute.put_rows(sig), compute.put_rows(mms),
+            compute.put_rows(npts), compute.put_rows(passth),
+            compute.put_rows(sh), compute.put_rows(sc),
             max_points=mp)
         _enqueue_d2h(new_sh, new_sc)
         new_sh = np.asarray(new_sh); new_sc = np.asarray(new_sc)
@@ -328,7 +344,8 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
     # each segment tail are garbage no consumer addresses (windows clamp to
     # n_states <= n_kmers - ref_index).
     passed = [p for p in prepped if p.passed]
-    if passed and jax.default_backend() != "cpu":
+    if passed and (jax.default_backend() != "cpu"
+                   or compute.data_axis_size() > 1):
         from ..ops.seqcodes import flat_ranks_from_codes_jit
         from ..utils.seqtools import encode_bases
         chunks = []
@@ -344,7 +361,7 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
         padded = np.zeros(max(1 << 16, -(-cat.shape[0] // (1 << 16)) << 16),
                           dtype=np.uint8)
         padded[: cat.shape[0]] = cat
-        flat = flat_ranks_from_codes_jit(jnp.asarray(padded))
+        flat = flat_ranks_from_codes_jit(compute.put_rep(padded))
         for p in passed:
             p.flat_ranks_device = flat
     return prepped

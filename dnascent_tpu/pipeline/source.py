@@ -60,7 +60,8 @@ class BamSignalSource:
 
     def __init__(self, bam_path: str, reference: dict, index: dict,
                  min_mapq: int = 20, min_length: int = 1000,
-                 max_reads: int | None = None, on_missing=None):
+                 max_reads: int | None = None, on_missing=None,
+                 shard: tuple[int, int] | None = None):
         self.bam_path = bam_path
         self.reference = reference
         self.index = index
@@ -68,6 +69,11 @@ class BamSignalSource:
         self.min_length = min_length
         self.max_reads = max_reads
         self.on_missing = on_missing
+        # (process_index, process_count): multi-host data parallelism — each
+        # host takes every process_count-th filter-passing record, skipping
+        # non-owned records BEFORE the signal fetch (the expensive part).
+        # New subsystem vs the reference (single process; SURVEY §5).
+        self.shard = shard
 
     def __iter__(self) -> Iterator[ReadRecord]:
         from ..io import bam as bam_io
@@ -75,6 +81,7 @@ class BamSignalSource:
 
         reader = bam_io.BamReader(self.bam_path)
         count = 0
+        seen = 0
         for rec in reader:
             if self.max_reads is not None and count >= self.max_reads:
                 break
@@ -84,6 +91,11 @@ class BamSignalSource:
             ref_start, ref_end = bam_io.get_ref_span(cigar, rec.pos)
             if rec.mapq < self.min_mapq or ref_end - ref_start < self.min_length:
                 continue
+            if self.shard is not None:
+                owner = seen % self.shard[1] == self.shard[0]
+                seen += 1
+                if not owner:
+                    continue
             read_id = rec.qname
             fetch_id = read_id
             parent = rec.get_tag("pi")

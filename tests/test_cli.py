@@ -37,7 +37,8 @@ def test_cli_detect_hr(dataset, tmp_path, monkeypatch):
     monkeypatch.setenv("DNASCENT_TPU_MODELS", "/nonexistent")  # synthetic models
     out = os.path.join(tmp_path, "out.detect")
     rc = cli.main(["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
-                   "-i", dataset.index, "-o", out, "-l", "1000"])
+                   "-i", dataset.index, "-o", out, "-l", "1000",
+                   "--allow-untrained-cnn"])
     assert rc == 0
     text = open(out).read()
     assert text.startswith("#Alignment")
@@ -51,7 +52,8 @@ def test_cli_detect_hr(dataset, tmp_path, monkeypatch):
 def test_cli_detect_modbam_roundtrip(dataset, tmp_path):
     out = os.path.join(tmp_path, "out.bam")
     rc = cli.main(["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
-                   "-i", dataset.index, "-o", out, "-l", "1000"])
+                   "-i", dataset.index, "-o", out, "-l", "1000",
+                   "--allow-untrained-cnn"])
     assert rc == 0
     # parse the modbam back the way forkSense would
     from dnascent_tpu.io.modbam import iter_modbam_detected_reads
@@ -99,7 +101,8 @@ def test_cli_align_then_traingmm(dataset, tmp_path):
 def test_cli_traincnn(dataset, tmp_path):
     out = os.path.join(tmp_path, "out.trainCNN")
     rc = cli.main(["trainCNN", "-b", dataset.bam, "-r", dataset.reference_fa,
-                   "-i", dataset.index, "-o", out, "-l", "100"])
+                   "-i", dataset.index, "-o", out, "-l", "100",
+                   "--allow-untrained-cnn"])
     assert rc == 0
     text = open(out).read()
     # annotated rows carry EdU/BrdU call columns at T-centred positions
@@ -154,7 +157,8 @@ def test_cli_detect_resume(dataset, tmp_path):
     output (here: none, so the file is unchanged)."""
     out = os.path.join(tmp_path, "resume.detect")
     args = ["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
-            "-i", dataset.index, "-o", out, "-l", "1000"]
+            "-i", dataset.index, "-o", out, "-l", "1000",
+            "--allow-untrained-cnn"]
     assert cli.main(args) == 0
     first = open(out).read()
     n_reads = first.count("\n>") + first.startswith(">")
@@ -171,7 +175,7 @@ def test_cli_detect_strict_windows(dataset, tmp_path):
     out = os.path.join(tmp_path, "strict.detect")
     rc = cli.main(["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
                    "-i", dataset.index, "-o", out, "-l", "1000",
-                   "--strict-windows"])
+                   "--strict-windows", "--allow-untrained-cnn"])
     assert rc == 0
     text = open(out).read()
     assert text.count("\n>") + text.startswith(">") >= 3
@@ -180,3 +184,39 @@ def test_cli_detect_strict_windows(dataset, tmp_path):
     for r in rows[:50]:
         cols = r.split("\t")
         assert len(cols) == 4 and cols[3][4] == "T"
+
+
+def test_cli_detect_refuses_untrained(dataset, tmp_path):
+    """Without trained weights (and without the override flag) detect
+    refuses, like the reference refuses without its SavedModel."""
+    out = os.path.join(tmp_path, "refuse.detect")
+    with pytest.raises(SystemExit):
+        cli.main(["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
+                  "-i", dataset.index, "-o", out, "-l", "1000"])
+    assert not os.path.exists(out)
+
+
+def test_cli_detect_sharded_matches_single(dataset, tmp_path):
+    """--nprocs 2: two shard runs + deterministic merge reproduce the
+    single-process output byte for byte (modulo the timestamped header)."""
+    body = lambda p: [l for l in open(p).read().splitlines()
+                      if l and l[0] != "#"]
+    single = os.path.join(tmp_path, "single.detect")
+    rc = cli.main(["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
+                   "-i", dataset.index, "-o", single, "-l", "1000",
+                   "--allow-untrained-cnn"])
+    assert rc == 0
+    merged = os.path.join(tmp_path, "merged.detect")
+    for k in ("1", "0"):   # shard 0 last: it completes the set and merges
+        rc = cli.main(["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
+                       "-i", dataset.index, "-o", merged, "-l", "1000",
+                       "--nprocs", "2", "--procid", k,
+                       "--allow-untrained-cnn"])
+        assert rc == 0
+    assert os.path.exists(merged)
+    # canonicalise the single-run output through the same merge
+    from dnascent_tpu.parallel.merge import merge_host_outputs
+    canon = os.path.join(tmp_path, "canon.detect")
+    merge_host_outputs([single], canon)
+    assert body(merged) == body(canon)
+    assert len(body(merged)) > 500

@@ -58,3 +58,40 @@ def test_shard_files_for_host():
     c = shard_files_for_host(files, 2, 3)
     assert sorted(a + b + c) == sorted(files)
     assert not (set(a) & set(b))
+
+
+def test_detect_pipeline_mesh_sharded_bitwise_equal(models, cfg):
+    """The full detect pipeline (prep -> eventalign -> CNN) under an active
+    8-device compute mesh produces bitwise-identical per-read outputs to the
+    single-device run (every kernel is batch-parallel; GSPMD sharding must
+    not change per-row math)."""
+    from dnascent_tpu.models import cnn as cnn_mod
+    from dnascent_tpu.parallel import compute
+    from dnascent_tpu.pipeline.detect import detect_reads
+    from dnascent_tpu.pipeline.source import SimulatedSource
+
+    model = cnn_mod.create_model(d_model=32, d_core=8, d_residual=8,
+                                 d_signal=8, dilations=(1, 2))
+    params = cnn_mod.default_params(model)
+
+    def run(mesh):
+        compute.set_compute_mesh(mesh)
+        try:
+            src = SimulatedSource(models, cfg, n_reads=6, length=1500,
+                                  seed=7)
+            out = {}
+            for rid, d in detect_reads(list(src), models, model, params,
+                                       cfg, batch_size=3, pipeline_depth=1):
+                out[rid] = d
+            return out
+        finally:
+            compute.set_compute_mesh(None)
+
+    a = run(None)
+    b = run(compute.make_data_mesh())
+    assert set(a) == set(b) and len(a) >= 5
+    for rid in a:
+        assert np.array_equal(a[rid].ref_coords, b[rid].ref_coords)
+        assert np.array_equal(a[rid].brdu_prob, b[rid].brdu_prob)
+        assert np.array_equal(a[rid].edu_prob, b[rid].edu_prob)
+        assert np.array_equal(a[rid].kmer_starts, b[rid].kmer_starts)
