@@ -40,6 +40,7 @@ _MANIFEST = os.path.join(os.path.dirname(__file__),
                          "reference_cnn_manifest.json")
 
 _VAR_RE = re.compile(r"layer_with_weights-(\d+)/([a-z_]+)/\.ATTRIBUTES")
+_TRAIN_RE = re.compile(r"trainable_variables/(\d+)/\.ATTRIBUTES")
 
 
 def load_manifest() -> dict:
@@ -78,6 +79,12 @@ def load_savedmodel_tensors(model_dir: str) -> dict[str, np.ndarray]:
         m = _VAR_RE.match(name)
         if m:
             out[f"layer{int(m.group(1))}/{m.group(2)}"] = arr
+            continue
+        m = _TRAIN_RE.match(name)
+        if m:
+            # the GRU cells (0-5) and the dense head (190/191) are stored
+            # only under their trainable_variables alias in the checkpoint
+            out[f"trainable{int(m.group(1))}"] = arr
     return out
 
 
