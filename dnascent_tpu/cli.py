@@ -317,6 +317,13 @@ def main_align(argv):
     return 0
 
 
+def _add_distributed_flags(p):
+    p.add_argument("--devices", default=None)
+    p.add_argument("--nprocs", type=int, default=1)
+    p.add_argument("--procid", type=int, default=None)
+    p.add_argument("--coordinator", default=None)
+
+
 def main_forksense(argv):
     p = argparse.ArgumentParser(prog="dnascent-tpu forkSense")
     p.add_argument("-d", "--detect", required=True)
@@ -329,8 +336,10 @@ def main_forksense(argv):
     p.add_argument("--markTerminations", action="store_true")
     p.add_argument("--markForks", action="store_true")
     p.add_argument("--makeSignatures", action="store_true")
+    _add_distributed_flags(p)
     a = p.parse_args(argv)
     cfg = DNA_R10
+    procid, nprocs = _setup_parallel(a)
     from .pipeline import forksense as fsm
 
     ext = a.detect.rsplit(".", 1)[-1]
@@ -346,8 +355,14 @@ def main_forksense(argv):
               file=sys.stderr)
         return 1
 
+    ordinals = None
+    if nprocs > 1:
+        # shard reads across hosts; pass 1 statistics are allgathered
+        # inside forksense_run so every host's 2-means is identical
+        ordinals = list(range(procid, len(reads), nprocs))
+        reads = [reads[i] for i in ordinals]
     inc, outputs = fsm.forksense_run(
-        reads, a.order, cfg,
+        reads, a.order, cfg, read_ordinals=ordinals,
         mark_origins=a.markOrigins, mark_terms=a.markTerminations,
         mark_forks=a.markForks, mark_analogues=a.markAnalogues,
         make_signatures=a.makeSignatures, human_readable=human_readable)
@@ -366,15 +381,22 @@ def main_forksense(argv):
                 f"#Software dnascent_tpu\n#Version {__version__}\n"
                 f"#Commit none\n{extra}")
 
-    with open(a.output, "w") as fh:
+    from .parallel.merge import (all_shards_present, host_shard_path,
+                                 merge_bed_outputs, merge_host_outputs)
+    shard_mode = nprocs > 1
+    main_path = host_shard_path(a.output, procid) if shard_mode else a.output
+    with open(main_path, "w") as fh:
         fh.write(hdr(f"#EstimatedRegionBrdU {inc.centroid_1:.6f}\n"
                      f"#EstimatedRegionEdU {inc.centroid_2:.6f}\n"))
         for o in outputs:
             for block in o.main:
                 fh.write(block)
 
+    bed_names = []
+
     def write_bed(name, lines_attr):
-        path = name
+        bed_names.append(name)
+        path = host_shard_path(name, procid) if shard_mode else name
         with open(path, "w") as fh:
             fh.write(hdr())
             for o in outputs:
@@ -396,6 +418,22 @@ def main_forksense(argv):
     if a.markAnalogues:
         write_bed("BrdU_DNAscent_forkSense.bed", "brdu_beds")
         write_bed("EdU_DNAscent_forkSense.bed", "edu_beds")
+
+    if shard_mode:
+        from .parallel.collectives import barrier
+        if a.coordinator:
+            barrier("forksense_shards_done")
+        if (procid == 0 or not a.coordinator) and all_shards_present(
+                a.output, nprocs):
+            merge_host_outputs(
+                [host_shard_path(a.output, i) for i in range(nprocs)],
+                a.output)
+            for name in bed_names:
+                if all_shards_present(name, nprocs):
+                    merge_bed_outputs(
+                        [host_shard_path(name, i) for i in range(nprocs)],
+                        name)
+            print(f"merged {nprocs} forkSense shards -> {a.output}")
     return 0
 
 
@@ -408,31 +446,49 @@ def main_seebreaks(argv):
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--fast", action="store_true",
                    help="vectorised bootstrap instead of reference-exact RNG")
+    _add_distributed_flags(p)
     a = p.parse_args(argv)
     if not (a.left or a.right):
         print("Exiting with error.  Insufficient arguments passed to "
               "DNAscent seeBreaks.", file=sys.stderr)
         return 1
     cfg = DNA_R10
+    procid, nprocs = _setup_parallel(a)
     import numpy as np
     from .pipeline.seebreaks import run_seebreaks, write_seebreaks_output
 
+    # the detect-file span scan is the only heavy input: shard it across
+    # hosts, then allgather the spans so every host computes the identical
+    # statistics (global read-length vector; src/seeBreaks.cpp:288-350)
     ext = a.detect.rsplit(".", 1)[-1]
     spans = []
+    ordinals = []
+    n_seen = 0
+
+    def take(rs, re_):
+        nonlocal n_seen
+        if n_seen % nprocs == procid:
+            spans.append((rs, re_))
+            ordinals.append(n_seen)
+        n_seen += 1
+
     if ext == "detect":
         with open(a.detect) as fh:
             for line in fh:
                 if line.startswith(">"):
                     cols = line.split()
-                    spans.append((int(cols[2]), int(cols[3])))
+                    take(int(cols[2]), int(cols[3]))
     else:
         from .io.bam import BamReader, get_ref_span
         rd = BamReader(a.detect)
         for rec in rd:
             rs, re_ = get_ref_span(rec.cigar(), rec.pos)
-            spans.append((rs, re_))
+            take(rs, re_)
         rd.close()
     spans = np.asarray(spans, dtype=np.int64).reshape(-1, 2)
+    if nprocs > 1:
+        from .parallel.collectives import gather_ordered
+        spans = gather_ordered(spans, np.asarray(ordinals, np.int64))
 
     def by_minlen(minlen):
         keep = (spans[:, 1] - spans[:, 0]) >= minlen
@@ -440,8 +496,11 @@ def main_seebreaks(argv):
 
     res = run_seebreaks(a.left, a.right, a.analogue, spans[:, 0], by_minlen,
                         cfg.seebreaks, parity=not a.fast)
-    write_seebreaks_output(res, a.output, a.detect, a.left or "",
-                           a.right or "")
+    if nprocs == 1 or procid == 0:
+        # every host computed the identical result from the gathered spans;
+        # one writes it
+        write_seebreaks_output(res, a.output, a.detect, a.left or "",
+                               a.right or "")
     print(f"\nNumber of forks: {res.n_forks}")
     print("Expected number of analogue tracks at read ends")
     print(f"   Estimate: {res.sim_mean:.6g}")

@@ -710,18 +710,32 @@ def process_read(r: DetectedReadData, inc: KMeansResult, analogue_order: str,
 
 
 def forksense_run(reads: Iterator[DetectedReadData], analogue_order: str,
-                  cfg: SubstrateConfig = DNA_R10, **kwargs):
+                  cfg: SubstrateConfig = DNA_R10, read_ordinals=None,
+                  **kwargs):
     """Two-pass driver (sense_main, forkSense.cpp:1765-1787).  ``reads`` must
-    be re-iterable (pass a list or a factory upstream for streams)."""
+    be re-iterable (pass a list or a factory upstream for streams).
+
+    Multi-host: callers shard the read list and pass each read's GLOBAL
+    ordinal via ``read_ordinals``; pass 1's call-fraction vectors are then
+    allgathered across hosts in global window order, so every host runs the
+    identical 2-means (forkSense.cpp:1459-1615 is a whole-dataset statistic)
+    and pass 2 proceeds on the local shard only."""
+    from ..parallel.collectives import gather_ordered, window_keys
     fs = cfg.forksense
     reads = list(reads)
-    bfr_all, efr_all = [], []
+    if read_ordinals is None:
+        read_ordinals = range(len(reads))
+    bfr_all, efr_all, counts = [], [], []
     for r in reads:
         bfr, efr = call_fractions_read(r.coords, r.edu, r.brdu, fs)
         bfr_all.append(bfr)
         efr_all.append(efr)
-    bfr = np.concatenate(bfr_all) if bfr_all else np.empty(0)
-    efr = np.concatenate(efr_all) if efr_all else np.empty(0)
+        counts.append(bfr.shape[0])
+    keys = window_keys(read_ordinals, counts)
+    bfr = gather_ordered(
+        np.concatenate(bfr_all) if bfr_all else np.empty(0), keys)
+    efr = gather_ordered(
+        np.concatenate(efr_all) if efr_all else np.empty(0), keys)
     if bfr.shape[0] < fs.min_call_fraction_windows:
         raise ValueError(
             "insufficient call-fraction windows for forkSense "
