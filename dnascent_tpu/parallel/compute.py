@@ -37,6 +37,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _ACTIVE: Optional[Mesh] = None
 
+# host<->device byte counters (benchmark observability): every pipeline
+# upload routes through put_rows/put_rep and every download through the
+# _enqueue_d2h helpers, so these capture the interconnect traffic that
+# dominates on slow links (CLAUDE.md bench notes)
+_TRANSFER = {"h2d_bytes": 0, "d2h_bytes": 0}
+
+
+def reset_transfer_counters() -> None:
+    _TRANSFER["h2d_bytes"] = 0
+    _TRANSFER["d2h_bytes"] = 0
+
+
+def transfer_counters() -> dict:
+    return dict(_TRANSFER)
+
+
+def count_d2h(*arrays) -> None:
+    for a in arrays:
+        try:
+            _TRANSFER["d2h_bytes"] += int(np.prod(a.shape)) * a.dtype.itemsize
+        except (AttributeError, TypeError):
+            pass
+
+
+def _count_h2d(x) -> None:
+    try:
+        _TRANSFER["h2d_bytes"] += int(np.prod(np.shape(x))) * x.dtype.itemsize
+    except (AttributeError, TypeError):
+        pass
+
 
 def make_data_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     """A 1-D ``('data',)`` mesh over the local (or given) devices."""
@@ -73,6 +103,7 @@ def put_rows(x) -> jax.Array:
     ``jnp.asarray`` when no mesh is active).  The leading extent must be a
     multiple of :func:`data_axis_size` — callers pad with :func:`pad_rows`.
     """
+    _count_h2d(x)
     if _ACTIVE is None:
         return jnp.asarray(x)
     spec = P(*(("data",) + (None,) * (np.ndim(x) - 1)))
@@ -82,6 +113,7 @@ def put_rows(x) -> jax.Array:
 def put_rep(x) -> jax.Array:
     """Place an array replicated over the mesh (plain ``jnp.asarray`` when
     no mesh is active)."""
+    _count_h2d(x)
     if _ACTIVE is None:
         return jnp.asarray(x)
     return jax.device_put(x, NamedSharding(_ACTIVE, P()))

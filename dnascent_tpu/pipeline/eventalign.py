@@ -715,6 +715,7 @@ def _enqueue_d2h(*arrays) -> None:
     async copies overlap each other and the remaining device work, so
     enqueueing every stage output at dispatch time and gathering late
     collapses N latencies into ~one."""
+    compute.count_d2h(*arrays)
     for a in arrays:
         try:
             a.copy_to_host_async()
@@ -883,24 +884,71 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
         return calls_per_read.get(w.state.p.record.read_id)
 
     if strict:
+        # Speculative wavefront: the reference couples window n+1 to window
+        # n's Viterbi result (reference_index += lastM_ref + 1, readHead +=
+        # lastM_ev + 1; alignment.cpp:738-740), which would serialise one
+        # tiny device call per window.  Instead each round dispatches a
+        # chain of DNASCENT_STRICT_SPEC speculative windows per read built
+        # under the fast-mode advance prediction (full k-mer span; the last
+        # path step is almost always a match, so lastM_ref + 1 == span), and
+        # commits a speculated window only when the true cursors prove it
+        # identical to what the sequential loop would have built:
+        #   * its start equals the live reference_index, and
+        #   * the live read_head <= its first in-range pair (the window was
+        #     built with a read_head lower bound, and j0 = max(searchsorted,
+        #     read_head), so equality of the built window follows).
+        # A mispredicted tail is discarded and rebuilt from the true cursor
+        # next round — output is bit-identical to the sequential loop.
+        import os as _os
+        spec_depth = max(1, int(_os.environ.get("DNASCENT_STRICT_SPEC",
+                                                "16")))
+        k = cfg.kmer_len
         active = [s for s in states if not s.exhausted]
-        while active:
+        while True:
+            chains: list[tuple[_ReadState, list[_Window]]] = []
             windows: list[_Window] = []
-            still = []
             for st in active:
-                w = _next_window(st, cfg, t_cap)
-                if w is not None:
-                    windows.append(w)
-                    still.append(st)
+                chain: list[_Window] = []
+                ri = st.reference_index
+                rh = st.read_head
+                ref_len = len(st.p.record.reference_seq)
+                for _ in range(spec_depth):
+                    w = None
+                    while ri < ref_len - k + 1:
+                        w, skip = _window_at(st, ri, cfg, t_cap, rh)
+                        if w is not None:
+                            break
+                        ri += skip
+                    if w is None:
+                        break
+                    chain.append(w)
+                    ri = w.ref_index + w.window_length - k + 1
+                    rh = w.first_inrange
+                if chain:
+                    chains.append((st, chain))
+                    windows.extend(chain)
+                else:
+                    st.exhausted = True
             if not windows:
                 break
-            for w, (codes, ns_w) in zip(
-                    windows, _viterbi_windows(windows, models, cfg, hmm_probs,
-                                              n_state_pad, t_buckets,
-                                              obs_dtype=np.float32)):
-                _process_window(w, codes, ns_w, cfg, collect_text,
-                                get_calls(w))
-            active = [s for s in still if not s.exhausted]
+            results = _viterbi_windows(windows, models, cfg, hmm_probs,
+                                       n_state_pad, t_buckets,
+                                       obs_dtype=np.float32)
+            pos = 0
+            for st, chain in chains:
+                ok = True
+                for w in chain:
+                    codes, ns_w = results[pos]
+                    pos += 1
+                    if not ok:
+                        continue
+                    if (w.ref_index != st.reference_index
+                            or st.read_head > w.first_inrange):
+                        ok = False   # misprediction: rebuild from the
+                        continue     # true cursor next round
+                    _process_window(w, codes, ns_w, cfg, collect_text,
+                                    get_calls(w))
+            active = [st for st, _ in chains if not st.exhausted]
     else:
         sets: list[tuple[_ReadState, _WindowSet, int, int]] = []
         n_windows = 0

@@ -83,8 +83,12 @@ def _bucket(value: int, step: int) -> int:
     return ((value + step - 1) // step) * step
 
 
+_SPILL_NOTED = False
+
+
 def _enqueue_d2h(*arrays) -> None:
     """Non-blocking device->host copy start (see eventalign._enqueue_d2h)."""
+    compute.count_d2h(*arrays)
     for a in arrays:
         try:
             a.copy_to_host_async()
@@ -173,7 +177,18 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
     # covers reads to ~85 kb before the XLA-scan fallback kicks in.
     MAX_FILL_B = 16
     split_groups = []
+    global _SPILL_NOTED
     for (E, K), group in buckets.items():
+        if (jax.default_backend() != "cpu" and not _SPILL_NOTED
+                and _pallas_fill_batch(E, K) == 0):
+            # explicit ultra-long-read spill path (SURVEY §7.3 item 3):
+            # past ~85 kb the Pallas fill's VMEM-resident inputs no longer
+            # fit, so these reads take the HBM-resident XLA scan fill
+            import sys as _sys
+            print(f"note: reads with ~{E} events exceed the Pallas banded "
+                  "fill's VMEM budget; using the XLA scan fill for them "
+                  "(slower per read, same output)", file=_sys.stderr)
+            _SPILL_NOTED = True
         cap = MAX_FILL_B
         if compute.data_axis_size() > 1:
             # XLA fill shards over the mesh: scale the batch so every
