@@ -162,7 +162,7 @@ class SimulatedSource:
 
     def __init__(self, models, cfg: SubstrateConfig = DNA_R10, n_reads: int = 8,
                  length: int = 5000, seed: int = 0, contig: str = "chrSim",
-                 analogue_painter=None):
+                 analogue_painter=None, reverse: bool = False):
         self.models = models
         self.cfg = cfg
         self.n_reads = n_reads
@@ -170,6 +170,10 @@ class SimulatedSource:
         self.seed = seed
         self.contig = contig
         self.analogue_painter = analogue_painter
+        # reverse-strand records: basecall/reference stay in sequencing
+        # orientation (as the BAM source delivers them, reads.h:280-286);
+        # only the genome-coordinate mapping flips
+        self.reverse = reverse
 
     def __iter__(self) -> Iterator[ReadRecord]:
         for i in range(self.n_reads):
@@ -188,7 +192,7 @@ class SimulatedSource:
                 contig=self.contig,
                 ref_start=1000 + 10 * i,
                 ref_end=1000 + 10 * i + L,
-                is_reverse=False,
+                is_reverse=self.reverse,
                 basecall=sim.sequence,
                 reference_seq=sim.sequence,
                 ref_to_query=idx.copy(),

@@ -104,9 +104,12 @@ def oracle_eventalign(p, models, cfg):
 
 
 @pytest.mark.slow
-def test_strict_mode_matches_oracle_eventalign(models):
+@pytest.mark.parametrize("reverse", [False, True],
+                         ids=["forward", "reverse"])
+def test_strict_mode_matches_oracle_eventalign(models, reverse):
     cfg = DNA_R10
-    src = SimulatedSource(models, cfg, n_reads=2, length=1500, seed=300)
+    src = SimulatedSource(models, cfg, n_reads=2, length=1500, seed=300,
+                          reverse=reverse)
     prepped = prepare_reads(list(src), models, cfg)
     results = run_eventalign(prepped, models, cfg, strict=True)
     checked = 0
