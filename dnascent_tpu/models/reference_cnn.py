@@ -93,9 +93,16 @@ _BN_CH[77] = 128
 _BN_EPS = 1e-3   # Keras BatchNormalization default
 
 
+# conv compute dtype: bfloat16 on the MXU by default; bench.py's CPU-baseline
+# worker sets DNASCENT_REFCNN_F32=1 so the CPU measurement runs plain float32
+# (what the reference's TF CPU build uses) instead of emulated bf16
+_CONV_DTYPE = (jnp.float32 if __import__("os").environ.get(
+    "DNASCENT_REFCNN_F32") else jnp.bfloat16)
+
+
 def _conv1d(x, kernel, bias):
     y = jax.lax.conv_general_dilated(
-        x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16),
+        x.astype(_CONV_DTYPE), kernel.astype(_CONV_DTYPE),
         window_strides=(1,), padding="SAME",
         dimension_numbers=("NWC", "WIO", "NWC"))
     return y.astype(jnp.float32) + bias
@@ -106,11 +113,11 @@ def _sepconv1d(x, p):
     c = dw.shape[1]
     dwk = jnp.transpose(dw, (0, 2, 1))       # (k, 1, C) for grouped conv
     y = jax.lax.conv_general_dilated(
-        x.astype(jnp.bfloat16), dwk.astype(jnp.bfloat16),
+        x.astype(_CONV_DTYPE), dwk.astype(_CONV_DTYPE),
         window_strides=(1,), padding="SAME",
         dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=c)
     y = jax.lax.conv_general_dilated(
-        y, p["pointwise_kernel"].astype(jnp.bfloat16),
+        y, p["pointwise_kernel"].astype(_CONV_DTYPE),
         window_strides=(1,), padding="SAME",
         dimension_numbers=("NWC", "WIO", "NWC"))
     return y.astype(jnp.float32) + p["bias"]

@@ -16,7 +16,8 @@ import sys
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "dnascent_native.cpp")
+_SRCS = [os.path.join(_HERE, "dnascent_native.cpp"),
+         os.path.join(_HERE, "baseline_cpu.cpp")]
 _LIB = os.path.join(_HERE, "libdnascent_native.so")
 
 _lib = None
@@ -26,7 +27,7 @@ _load_error: Exception | None = None
 def _build() -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-        "-fopenmp", _SRC, "-o", _LIB,
+        "-fopenmp", *_SRCS, "-o", _LIB,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -37,7 +38,8 @@ def _load():
         return _lib
     try:
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or any(os.path.getmtime(_LIB) < os.path.getmtime(s)
+                       for s in _SRCS)):
             _build()
         lib = ctypes.CDLL(_LIB)
 
@@ -91,6 +93,15 @@ def _load():
         lib.seebreaks_difference.argtypes = [
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             i64, u32, f64p,
+        ]
+        dbl = ctypes.c_double
+        lib.baseline_detect_read.restype = dbl
+        lib.baseline_detect_read.argtypes = [
+            f64p, i64, i64p, i64, i64p, i64, i64p, f64p, i64,
+            i64, i64, dbl, dbl, dbl,
+            i64, i64, i64,
+            i64, dbl, dbl, dbl, i64, i64,
+            f64p, i64, i64,
         ]
         _lib = lib
     except Exception as e:  # pragma: no cover
@@ -223,6 +234,33 @@ def decode_moves(packed: np.ndarray, col: int, best_event: int, n_kmers: int,
     return (pairs[: 2 * m].reshape(-1, 2).copy(), cs[:n_cleaned].copy(),
             cr[:n_cleaned].copy(), float(stats[0]), bool(stats[1]),
             int(stats[2]))
+
+
+def baseline_detect_read(raw: np.ndarray, rq: np.ndarray, rr: np.ndarray,
+                         q2r: np.ndarray, model: np.ndarray, cfg) -> float:
+    """Benchmark-only: the full detect hot path (events -> scaling -> banded
+    -> Theil-Sen -> windowed Viterbi) as scalar C++ on the host.  Used by
+    bench.py to measure the CPU denominator; the production pipeline never
+    calls this.  Returns the summed window Viterbi scores (NaN = QC fail)."""
+    lib = get_lib()
+    hmm = np.asarray([cfg.hmm.external_D2D, cfg.hmm.external_D2M,
+                      cfg.hmm.external_I2M, cfg.hmm.external_M2D,
+                      cfg.hmm.internal_M2I, cfg.hmm.internal_I2I], np.float64)
+    return float(lib.baseline_detect_read(
+        np.ascontiguousarray(raw, np.float64), int(raw.shape[0]),
+        np.ascontiguousarray(rq, np.int64), int(rq.shape[0]),
+        np.ascontiguousarray(rr, np.int64), int(rr.shape[0]),
+        np.ascontiguousarray(q2r, np.int64),
+        np.ascontiguousarray(model, np.float64), int(model.shape[0]),
+        int(cfg.events.window_length1), int(cfg.events.window_length2),
+        float(cfg.events.threshold1), float(cfg.events.threshold2),
+        float(cfg.events.peak_height),
+        int(cfg.scaling.n_quantiles), int(cfg.scaling.theilsen_max_points),
+        int(cfg.scaling.theilsen_trim),
+        int(cfg.banded.bandwidth), float(cfg.banded.epsilon_skip),
+        float(cfg.banded.p_trim), float(cfg.banded.min_average_log_emission),
+        int(cfg.banded.max_gap_threshold), int(cfg.banded.min_cleaned_events),
+        hmm, int(cfg.window_length_align), int(cfg.kmer_len)))
 
 
 def process_read_windows(codes, steps_per, ns_per, g_ev, ev_start,
