@@ -279,6 +279,10 @@ def main_detect(argv):
 
 def main_align(argv):
     p = _detect_parser("dnascent-tpu align", 100)
+    p.add_argument("--fast-windows", action="store_true",
+                   help="use the batched independent-window geometry "
+                   "instead of the reference's sequential window coupling "
+                   "(faster; rows differ where the couplings diverge)")
     a = p.parse_args(argv)
     cfg = DNA_R10
     _setup_parallel(a)   # align shards its Viterbi batches over --devices
@@ -288,13 +292,18 @@ def main_align(argv):
     from .pipeline.prep import prepare_reads
     from .pipeline.eventalign import run_eventalign
 
+    # align's product IS the reference's eventalign table, so the
+    # reference-parity (strict) window geometry is the default here —
+    # the speculative wavefront keeps it within ~1.6x of fast mode
+    strict = a.strict_windows or not a.fast_windows
     n_ok = n_fail = 0
     with AlignHRWriter(a.output) as w:
         batch = []
         def flush(batch):
             nonlocal n_ok, n_fail
             prepped = prepare_reads(batch, models, cfg)
-            results = run_eventalign(prepped, models, cfg, collect_text=True)
+            results = run_eventalign(prepped, models, cfg, collect_text=True,
+                                     strict=strict)
             for p_ in prepped:
                 res = results.get(p_.record.read_id)
                 if res is not None and res.qc_passed and res.text:

@@ -102,6 +102,7 @@ class _ReadState:
     g_obs: Optional[np.ndarray] = None
     flat_obs_base: int = -1
     rank_off: int = -1          # per-call flat-rank offset (when built here)
+    spec: int = 8               # strict mode: adaptive speculation depth
 
 
 @dataclass
@@ -426,6 +427,52 @@ def _process_window(w: _Window, path_code: np.ndarray, n_states_w: int,
     if update_cursor:
         st.read_head = w.first_inrange + last_m_ev + 1
         st.reference_index = ri + last_m_ref + 1
+
+
+def _advance_cursor(w: _Window, path_code: np.ndarray, n_states_w: int,
+                    cfg: SubstrateConfig) -> None:
+    """Strict mode: advance the read cursors from one window's path without
+    materialising positions (the heavy part is deferred to the batched
+    post-processing).  Mirrors _process_window's cursor rule exactly
+    (reference: alignment.cpp:738-740)."""
+    st = w.state
+    path_kind, path_pos = vit.decode_path(path_code, n_states_w)
+    if path_kind.shape[0] == 0:
+        st.read_head = w.first_inrange + 1
+        st.reference_index = w.ref_index + 1
+        return
+    is_m = path_kind == vit.KIND_M
+    m_steps = np.nonzero(is_m)[0]
+    if m_steps.shape[0]:
+        last = m_steps[-1]
+        non_d = path_kind != vit.KIND_D
+        last_m_ev = int(np.cumsum(non_d)[last] - 1)
+        last_m_ref = int(path_pos[last])
+    else:
+        last_m_ev = 0
+        last_m_ref = 0
+    st.read_head = w.first_inrange + last_m_ev + 1
+    st.reference_index = w.ref_index + last_m_ref + 1
+
+
+def _window_set_from_windows(windows: list[_Window],
+                             cfg: SubstrateConfig) -> _WindowSet:
+    """Array-form _WindowSet over an explicit (committed, in-order) window
+    list, so strict mode can reuse the batched fast-mode post-processing.
+    Each window's guarded event ids are concatenated into the set's stream
+    (windows may overlap in events; spans are self-contained)."""
+    k = cfg.kmer_len
+    n = len(windows)
+    ri = np.fromiter((w.ref_index for w in windows), np.int64, n)
+    ns = np.fromiter((w.window_length - k + 1 for w in windows), np.int64, n)
+    lens = np.fromiter((w.event_ids.shape[0] for w in windows), np.int64, n)
+    g1 = np.cumsum(lens)
+    g0 = g1 - lens
+    rc = np.fromiter((w.reference_coord for w in windows), np.int64, n)
+    indel = np.fromiter((w.indel_score for w in windows), np.int64, n)
+    g_ev = (np.concatenate([w.event_ids for w in windows]) if n
+            else np.empty(0, np.int64))
+    return _WindowSet(ri, ns, g0, g1, rc, indel, g_ev)
 
 
 def _merge_sig_stores(stores: list[tuple]) -> tuple:
@@ -901,9 +948,14 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
         # next round — output is bit-identical to the sequential loop.
         import os as _os
         spec_depth = max(1, int(_os.environ.get("DNASCENT_STRICT_SPEC",
-                                                "16")))
+                                                "64")))
         k = cfg.kmer_len
         active = [s for s in states if not s.exhausted]
+        # committed windows + paths per read; the heavy position
+        # materialisation runs ONCE per read at the end through the batched
+        # (native) fast-mode post-processing — per-window work inside the
+        # wavefront is only the cursor advance
+        committed: dict[int, tuple[_ReadState, list, list]] = {}
         while True:
             chains: list[tuple[_ReadState, list[_Window]]] = []
             windows: list[_Window] = []
@@ -912,7 +964,7 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                 ri = st.reference_index
                 rh = st.read_head
                 ref_len = len(st.p.record.reference_seq)
-                for _ in range(spec_depth):
+                for _ in range(min(st.spec, spec_depth)):
                     w = None
                     while ri < ref_len - k + 1:
                         w, skip = _window_at(st, ri, cfg, t_cap, rh)
@@ -946,9 +998,26 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                             or st.read_head > w.first_inrange):
                         ok = False   # misprediction: rebuild from the
                         continue     # true cursor next round
-                    _process_window(w, codes, ns_w, cfg, collect_text,
-                                    get_calls(w))
+                    _advance_cursor(w, codes, ns_w, cfg)
+                    ent = committed.setdefault(id(st), (st, [], []))
+                    ent[1].append(w)
+                    ent[2].append((codes, ns_w))
+                # adaptive depth: full-chain commits double the read's
+                # speculation; a misprediction halves it, bounding the
+                # wasted dispatch volume when the advance prediction is
+                # off for this read's signal
+                st.spec = (min(st.spec * 2, spec_depth) if ok
+                           else max(4, st.spec // 2))
             active = [st for st, _ in chains if not st.exhausted]
+        simple_strict = not collect_text and calls_per_read is None
+        for st, wins, paths in committed.values():
+            if simple_strict:
+                _process_read_windows_batched(
+                    st, _window_set_from_windows(wins, cfg), paths, cfg)
+            else:
+                for w, (codes, ns_w) in zip(wins, paths):
+                    _process_window(w, codes, ns_w, cfg, collect_text,
+                                    get_calls(w), update_cursor=False)
     else:
         sets: list[tuple[_ReadState, _WindowSet, int, int]] = []
         n_windows = 0
