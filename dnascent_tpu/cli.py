@@ -157,7 +157,15 @@ def _load_cnn(a):
         return reference_cnn.load_savedmodel(a.model)
     model = cnn_mod.create_model()
     if a.cnn_weights and os.path.exists(a.cnn_weights):
+        import numpy as np
+        with np.load(a.cnn_weights) as data:
+            is_reference = "gru0/kernel" in data.files
         params = cnn_mod.load_params(a.cnn_weights)
+        if is_reference:
+            # npz written by `trainCNN --fit --fit-arch reference`:
+            # the reference topology fitted in-framework
+            from .models import reference_cnn
+            return reference_cnn.create_model(), params
     elif a.allow_untrained_cnn:
         params = cnn_mod.default_params(model)
         print("Warning: --allow-untrained-cnn — analogue probabilities "
@@ -526,14 +534,37 @@ def main_seebreaks(argv):
 
 def main_traincnn(argv):
     p = _detect_parser("dnascent-tpu trainCNN", 100)
+    p.add_argument("--fit", default=None, metavar="OUT_NPZ",
+                   help="also FIT a detect model on these reads and save "
+                   "the weights (requires --fit-label) — the in-framework "
+                   "training path; the reference only emits tables and "
+                   "trains offline in TF")
+    p.add_argument("--fit-label", choices=sorted({"Thym", "BrdU", "EdU"}),
+                   default=None,
+                   help="sample-wide ground-truth class of this run (the "
+                   "reference's training sets are analogue-only runs, so "
+                   "every T position carries the run's label)")
+    p.add_argument("--fit-arch", choices=["tpu", "reference"], default="tpu",
+                   help="architecture to fit: the TPU-native DetectCNN or "
+                   "the reference's GRU+separable-conv topology")
+    p.add_argument("--fit-epochs", type=int, default=1)
+    p.add_argument("--fit-lr", type=float, default=3e-4)
     a = p.parse_args(argv)
+    if a.fit and a.fit_label is None:
+        print("Exiting with error.  --fit requires --fit-label.",
+              file=sys.stderr)
+        return 1
     cfg = DNA_R10
     _setup_parallel(a)
     models = _load_models(cfg)
     src, ref, missing = _open_source(a, cfg, a.length)
     model, params = _load_cnn(a)
-    from .pipeline.traincnn import generate_training_tables
+    from .pipeline.traincnn import (LABEL_IDS, batches_from_labelled_reads,
+                                    generate_training_tables,
+                                    reference_arch_trainer, train_detect_cnn)
+    import numpy as np
     n = 0
+    train_batches = []
     with open(a.output, "w") as fh:
         batch = []
         def flush(batch):
@@ -542,6 +573,12 @@ def main_traincnn(argv):
                                                  params, cfg):
                 fh.write(text)
                 n += 1
+            if a.fit:
+                lab = LABEL_IDS[a.fit_label]
+                pairs = [(r, np.full(len(r.reference_seq), lab, np.int32))
+                         for r in batch]
+                train_batches.extend(
+                    batches_from_labelled_reads(pairs, models, cfg))
         for rec in src:
             batch.append(rec)
             if len(batch) >= 32:
@@ -549,6 +586,21 @@ def main_traincnn(argv):
         if batch:
             flush(batch)
     print(f"\ntrainCNN: {n} reads written")
+    if a.fit:
+        from .models import cnn as cnn_mod
+        if a.fit_arch == "reference":
+            fmodel, fparams, opt = reference_arch_trainer(
+                learning_rate=a.fit_lr)
+        else:
+            fmodel = cnn_mod.create_model()
+            fparams, opt = cnn_mod.default_params(fmodel), None
+        fparams, losses = train_detect_cnn(
+            train_batches, model=fmodel, params=fparams,
+            learning_rate=a.fit_lr, epochs=a.fit_epochs, optimizer=opt,
+            checkpoint_path=a.fit)
+        if losses:
+            print(f"trainCNN fit [{a.fit_arch}]: {len(losses)} steps, "
+                  f"loss {losses[0]:.4f} -> {losses[-1]:.4f} -> {a.fit}")
     return 0
 
 

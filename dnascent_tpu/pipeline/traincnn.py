@@ -107,9 +107,12 @@ def batches_from_labelled_reads(records_and_labels, models: PoreModelSet,
                            pos.signal[s:e], lab[s:e]))
     rng = np.random.default_rng(0)
     rng.shuffle(chunks)
-    for i in range(0, len(chunks) - batch_size + 1, batch_size):
+    for i in range(0, len(chunks), batch_size):
         group = chunks[i : i + batch_size]
-        B = len(group)
+        # the tail group is padded up to batch_size (rows carry label -1
+        # everywhere and are masked out of the loss), so every batch shares
+        # one compiled shape and small runs still yield training data
+        B = batch_size
         core = np.zeros((B, seq_len), dtype=np.int32)
         resid = np.zeros((B, seq_len), dtype=np.int32)
         sig = np.zeros((B, seq_len, cnn_mod.RAWDEPTH), dtype=np.float32)
@@ -121,6 +124,30 @@ def batches_from_labelled_reads(records_and_labels, models: PoreModelSet,
             sig[b, :n] = s
             lab[b, :n] = l
         yield TrainBatch(core, resid, sig, lab, lab >= 0)
+
+
+LABEL_IDS = {"Thym": 0, "BrdU": 1, "EdU": 2}  # output column order of the
+#                                reference's detect CNN (detect.cpp:686-714)
+
+
+def reference_arch_trainer(seed: int = 0, learning_rate: float = 3e-4):
+    """(model, params, optimizer) for fitting the reference detect-CNN
+    topology from scratch — the in-framework path to usable weights when the
+    reference's SavedModel shards are unavailable.  BatchNorm moving
+    statistics are frozen (they are inference-time constants in the
+    checkpoint layout, not weights)."""
+    import jax
+    from ..models import reference_cnn
+    model = reference_cnn.create_model()
+    params = reference_cnn.params_from_tensors(
+        reference_cnn.synthetic_tensors(seed))
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, _: ("freeze" if "moving_" in jax.tree_util.keystr(p)
+                      else "train"), params)
+    optimizer = optax.multi_transform(
+        {"train": optax.adamw(learning_rate), "freeze": optax.set_to_zero()},
+        labels)
+    return model, params, optimizer
 
 
 def make_train_step(model, optimizer):
@@ -147,8 +174,10 @@ def train_detect_cnn(batches: Iterator[TrainBatch], model=None, params=None,
                      learning_rate: float = 3e-4, epochs: int = 1,
                      log_every: int = 50, callback=None,
                      checkpoint_path: str = None,
-                     checkpoint_every: int = 500):
-    """Fit DetectCNN; returns (params, losses).
+                     checkpoint_every: int = 500, optimizer=None):
+    """Fit a detect model (any object with the ``apply(params, core,
+    residual, signal) -> (B, L, 3)`` contract — the TPU-native DetectCNN or
+    the reference topology); returns (params, losses).
 
     ``checkpoint_path`` enables periodic npz checkpoints (resume by loading
     them with models.cnn.load_params and passing as ``params``) — training
@@ -158,7 +187,8 @@ def train_detect_cnn(batches: Iterator[TrainBatch], model=None, params=None,
         model = cnn_mod.create_model()
     if params is None:
         params = cnn_mod.default_params(model)
-    optimizer = optax.adamw(learning_rate)
+    if optimizer is None:
+        optimizer = optax.adamw(learning_rate)
     opt_state = optimizer.init(params)
     step = make_train_step(model, optimizer)
     losses = []

@@ -112,6 +112,50 @@ def test_cli_traincnn(dataset, tmp_path):
     assert n_annotated > 100
 
 
+def test_cli_traincnn_fit_then_detect(dataset, tmp_path):
+    """trainCNN --fit writes weights the detect CLI can consume."""
+    out = os.path.join(tmp_path, "out.trainCNN")
+    npz = os.path.join(tmp_path, "fitted.npz")
+    rc = cli.main(["trainCNN", "-b", dataset.bam, "-r", dataset.reference_fa,
+                   "-i", dataset.index, "-o", out, "-l", "100",
+                   "--allow-untrained-cnn", "--fit", npz,
+                   "--fit-label", "BrdU", "--fit-epochs", "2"])
+    assert rc == 0
+    assert os.path.exists(npz)
+    det = os.path.join(tmp_path, "fitted.detect")
+    rc = cli.main(["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
+                   "-i", dataset.index, "-o", det, "-l", "1000",
+                   "--cnn-weights", npz])
+    assert rc == 0
+    rows = [l for l in open(det) if l and l[0] not in "#>"]
+    assert len(rows) > 500
+
+
+def test_cli_traincnn_fit_requires_label(dataset, tmp_path):
+    rc = cli.main(["trainCNN", "-b", dataset.bam, "-r", dataset.reference_fa,
+                   "-i", dataset.index,
+                   "-o", os.path.join(tmp_path, "x"), "-l", "100",
+                   "--allow-untrained-cnn",
+                   "--fit", os.path.join(tmp_path, "w.npz")])
+    assert rc == 1
+
+
+def test_load_cnn_selects_reference_topology_npz(tmp_path):
+    """--cnn-weights npz written from reference-topology params loads the
+    reference model, not the TPU-native DetectCNN."""
+    from types import SimpleNamespace
+    from dnascent_tpu.models import cnn as cnn_mod
+    from dnascent_tpu.models import reference_cnn
+    params = reference_cnn.params_from_tensors(
+        reference_cnn.synthetic_tensors(1))
+    npz = os.path.join(tmp_path, "ref.npz")
+    cnn_mod.save_params(params, npz)
+    a = SimpleNamespace(model=None, cnn_weights=npz, allow_untrained_cnn=False)
+    model, loaded = cli._load_cnn(a)
+    assert isinstance(model, reference_cnn.ReferenceDetectCNN)
+    assert loaded["gru0"]["kernel"].shape == (1, 48)
+
+
 def test_cli_forksense_and_seebreaks(tmp_path, monkeypatch):
     # synthesise a detect file with clear fork structure
     from tests.test_forksense import _synthetic_read

@@ -8,7 +8,31 @@ from dnascent_tpu.config import DNA_R10
 from dnascent_tpu.models import cnn as cnn_mod
 from dnascent_tpu.pipeline.source import SimulatedSource
 from dnascent_tpu.pipeline.traincnn import (batches_from_labelled_reads,
+                                            reference_arch_trainer,
                                             train_detect_cnn)
+
+
+def test_reference_arch_fit_decreases_loss(models):
+    """The reference detect-CNN topology is trainable in-framework: loss
+    falls, and the frozen BatchNorm moving statistics stay untouched."""
+    cfg = DNA_R10
+    records_and_labels = []
+    for i, rec in enumerate(SimulatedSource(models, cfg, n_reads=3,
+                                            length=1200, seed=321)):
+        lab = np.full(len(rec.reference_seq), (i % 2) + 1, np.int32)
+        records_and_labels.append((rec, lab))
+    batches = list(batches_from_labelled_reads(
+        records_and_labels, models, cfg, seq_len=192, batch_size=2))
+    assert batches
+    model, params, opt = reference_arch_trainer(learning_rate=3e-3)
+    before_mm = np.asarray(params["layer3"]["moving_mean"]).copy()
+    fitted, losses = train_detect_cnn(iter(batches), model=model,
+                                      params=params, epochs=4, optimizer=opt)
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+    np.testing.assert_array_equal(
+        np.asarray(fitted["layer3"]["moving_mean"]), before_mm)
+    assert not np.allclose(np.asarray(fitted["layer2"]["kernel"]),
+                           np.asarray(params["layer2"]["kernel"]))
 
 
 def _painter_and_labels(length, brdu_span, edu_span):
