@@ -62,10 +62,22 @@ def _poi_windows(p: PreparedRead, models: PoreModelSet, cfg: SubstrateConfig,
     return out
 
 
+def _bucket_up(n: int, step: int) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
 def hmm_detect_reads(records, models: PoreModelSet,
                      cfg: SubstrateConfig = DNA_R10, stats=None,
                      batch_size: int = 32):
-    """Generator of (read_id, human-readable text block) for --HMM mode."""
+    """Generator of (read_id, human-readable text block) for --HMM mode.
+
+    All POI windows of the whole read BATCH run as one device dispatch
+    (the reference scores each POI sequentially on a CPU thread,
+    detect.cpp:527-541): per-read device calls would pay one interconnect
+    round trip per read.  Placements ride the active compute mesh, sharded
+    on the window axis."""
+    from ..parallel import compute
+
     hmm_probs = tuple(getattr(cfg.hmm, kk) for kk in HMM_KEY)
     window = cfg.detect.hmm_window
     k = cfg.kmer_len
@@ -73,76 +85,103 @@ def hmm_detect_reads(records, models: PoreModelSet,
 
     def flush(batch):
         prepped = prepare_reads(batch, models, cfg)
+        jobs = []          # (p, header, wins) for scorable reads
+        results = {}       # rid -> text or None, in prepped order
         for p in prepped:
             rid = p.record.read_id
             if not p.passed or p.event_alignment.shape[0] == 0:
                 if stats is not None:
                     stats.failed += 1
                     stats.processed += 1
-                yield rid, None
+                results[rid] = None
                 continue
             wins = _poi_windows(p, models, cfg, window)
             rec = p.record
             header = (f">{rid} {rec.contig} {rec.ref_start} {rec.ref_end} "
                       f"{rec.strand}\n")
+            if stats is not None:
+                stats.processed += 1
             if not wins:
-                if stats is not None:
-                    stats.processed += 1
-                yield rid, header
+                results[rid] = header
                 continue
-            W = len(wins)
-            T = max(len(w[1]) for w in wins)
+            jobs.append((p, header, wins))
+            results[rid] = header  # placeholder; overwritten below
+
+        if jobs:
+            n_win = sum(len(wins) for _, _, wins in jobs)
+            W = compute.pad_rows(_bucket_up(n_win, 512))
+            T = _bucket_up(max(len(ev) for _, _, wins in jobs
+                               for _, ev, _ in wins), 64)
             obs = np.zeros((W, T), dtype=np.float32)
             n_obs = np.zeros(W, dtype=np.int32)
             mu_un = np.zeros((W, n_states), dtype=np.float32)
             sd_un = np.ones((W, n_states), dtype=np.float32)
             mu_an = np.zeros((W, n_states), dtype=np.float32)
             sd_an = np.ones((W, n_states), dtype=np.float32)
-            ranks = np.where(p.kmer_ranks_ref < 0, 0, p.kmer_ranks_ref)
-            codes = encode_bases(rec.reference_seq)
-            isT = codes == 1
-            hasT = np.zeros(ranks.shape[0], dtype=bool)
-            for i in range(k):
-                hasT |= isT[i : i + ranks.shape[0]]
-            brdu_lo = window - k // 2          # detect.cpp:544
-            brdu_hi = window + k // 2
-            for w, (pos, ev, _pq) in enumerate(wins):
-                obs[w, : len(ev)] = (ev - p.shift) / p.scale
-                n_obs[w] = len(ev)
-                rr = ranks[pos - window : pos - window + n_states]
-                mu_un[w] = models.unlabelled_model[rr, 0]
-                sd_un[w] = models.unlabelled_model[rr, 1]
+            epb = np.ones(W, dtype=np.float32)
+            w = 0
+            for p, _header, wins in jobs:
+                rec = p.record
+                ranks = np.where(p.kmer_ranks_ref < 0, 0, p.kmer_ranks_ref)
+                codes = encode_bases(rec.reference_seq)
+                isT = codes == 1
+                hasT = np.zeros(ranks.shape[0], dtype=bool)
+                for i in range(k):
+                    hasT |= isT[i : i + ranks.shape[0]]
+                brdu_lo = window - k // 2          # detect.cpp:544
+                brdu_hi = window + k // 2
                 i = np.arange(n_states)
-                sel = ((i >= brdu_lo) & (i <= brdu_hi)
-                       & hasT[pos - window : pos - window + n_states])
-                mu_an[w] = np.where(sel, models.analogue_model[rr, 0], mu_un[w])
-                sd_an[w] = np.where(sel, models.analogue_model[rr, 1], sd_un[w])
-            epb = np.full(W, p.events_per_base, dtype=np.float32)
+                for pos, ev, _pq in wins:
+                    obs[w, : len(ev)] = (ev - p.shift) / p.scale
+                    n_obs[w] = len(ev)
+                    rr = ranks[pos - window : pos - window + n_states]
+                    mu_un[w] = models.unlabelled_model[rr, 0]
+                    sd_un[w] = models.unlabelled_model[rr, 1]
+                    sel = ((i >= brdu_lo) & (i <= brdu_hi)
+                           & hasT[pos - window : pos - window + n_states])
+                    mu_an[w] = np.where(sel, models.analogue_model[rr, 0],
+                                        mu_un[w])
+                    sd_an[w] = np.where(sel, models.analogue_model[rr, 1],
+                                        sd_un[w])
+                    epb[w] = p.events_per_base
+                    w += 1
             ns = np.full(W, n_states, dtype=np.int32)
-            ll_an = np.asarray(forward_batch_jit(
-                jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(mu_an),
-                jnp.asarray(sd_an), jnp.asarray(ns), jnp.asarray(epb),
-                hmm_probs))
-            ll_un = np.asarray(forward_batch_jit(
-                jnp.asarray(obs), jnp.asarray(n_obs), jnp.asarray(mu_un),
-                jnp.asarray(sd_un), jnp.asarray(ns), jnp.asarray(epb),
-                hmm_probs))
-            llr = ll_an - ll_un
-            lines = [header]
-            for w, (pos, _ev, pos_q) in enumerate(wins):
-                kmer_ref = rec.reference_seq[pos - k // 2 : pos - k // 2 + k]
-                kmer_query = rec.basecall[pos_q - k // 2 : pos_q - k // 2 + k]
-                if rec.is_reverse:
-                    coord = rec.ref_end - pos - 1
-                    kmer_ref = reverse_complement(kmer_ref)
-                    kmer_query = reverse_complement(kmer_query)
-                else:
-                    coord = rec.ref_start + pos
-                lines.append(f"{coord}\t{llr[w]:.6f}\t{kmer_ref}"
-                             f"\t{kmer_query}\n")
-            if stats is not None:
-                stats.processed += 1
-            yield rid, "".join(lines)
+            # one upload per array, shared by both forward passes
+            obs_d = compute.put_rows(obs)
+            n_obs_d = compute.put_rows(n_obs)
+            ns_d = compute.put_rows(ns)
+            epb_d = compute.put_rows(epb)
+            ll_an = forward_batch_jit(
+                obs_d, n_obs_d, compute.put_rows(mu_an),
+                compute.put_rows(sd_an), ns_d, epb_d, hmm_probs)
+            ll_un = forward_batch_jit(
+                obs_d, n_obs_d, compute.put_rows(mu_un),
+                compute.put_rows(sd_un), ns_d, epb_d, hmm_probs)
+            from .eventalign import _enqueue_d2h
+            _enqueue_d2h(ll_an, ll_un)
+            llr = np.asarray(ll_an) - np.asarray(ll_un)
+            w = 0
+            for p, header, wins in jobs:
+                rec = p.record
+                lines = [header]
+                for pos, _ev, pos_q in wins:
+                    kmer_ref = rec.reference_seq[pos - k // 2
+                                                 : pos - k // 2 + k]
+                    kmer_query = rec.basecall[pos_q - k // 2
+                                              : pos_q - k // 2 + k]
+                    if rec.is_reverse:
+                        coord = rec.ref_end - pos - 1
+                        kmer_ref = reverse_complement(kmer_ref)
+                        kmer_query = reverse_complement(kmer_query)
+                    else:
+                        coord = rec.ref_start + pos
+                    lines.append(f"{coord}\t{llr[w]:.6f}\t{kmer_ref}"
+                                 f"\t{kmer_query}\n")
+                    w += 1
+                results[p.record.read_id] = "".join(lines)
+
+        for p in prepped:
+            yield p.record.read_id, results[p.record.read_id]
 
     batch = []
     for rec in records:

@@ -43,3 +43,19 @@ def test_forward_batch_matches_oracle(models, rng):
     for i in range(W):
         assert abs(got[i] - expected[i]) < 2e-2 * max(1.0, abs(expected[i])), (
             i, got[i], expected[i])
+
+
+def test_hmm_detect_batched_packing_invariant(models):
+    """hmm_detect_reads packs all windows of a read batch into one device
+    dispatch; per-read LLR text must not depend on which reads share the
+    batch (guards the cross-read packing of mu/sd/epb and the padding)."""
+    from dnascent_tpu.pipeline.hmm_detect import hmm_detect_reads
+    from dnascent_tpu.pipeline.source import SimulatedSource
+
+    records = list(SimulatedSource(models, DNA_R10, n_reads=4, length=1500,
+                                   seed=17))
+    one = dict(hmm_detect_reads(records, models, DNA_R10, batch_size=1))
+    four = dict(hmm_detect_reads(records, models, DNA_R10, batch_size=4))
+    assert set(one) == set(four) and len(one) == 4
+    for rid in one:
+        assert one[rid] == four[rid]
