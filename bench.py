@@ -46,6 +46,14 @@ import socket
 import sys
 import time
 
+
+def _phase(msg: str) -> None:
+    """Progress marker on stderr (first run on a fresh host recompiles every
+    kernel bucket through the tunnel — minutes per phase; markers make a
+    long warmup distinguishable from a hang)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.9")
 
 N_READS = int(os.environ.get("BENCH_READS", "128"))
@@ -294,6 +302,7 @@ def main():
         baseline = {"baseline_reads_per_s": float(os.environ["BENCH_BASELINE"]),
                     "kind": "BENCH_BASELINE env override"}
     else:
+        _phase("measuring CPU baseline (cached per host)")
         baseline = measure_baseline()
     base_rps = baseline["baseline_reads_per_s"]
 
@@ -307,30 +316,37 @@ def main():
 
     # warmup with the *same* shapes as the measured run so every kernel
     # bucket is compiled (and lands in the persistent cache) before timing
+    _phase(f"warmup: {len(records)} reads x {READ_LEN} bp (compiles kernel "
+           "buckets; minutes on a cold compile cache)")
     _run(records, models, model, params, cfg, batch_size, depth)
+    _phase("warmup done; timing")
 
     # best of 3: the tunnel to the chip suffers multi-second stalls
     # unrelated to the workload; peak sustained throughput is the signal
     reads_per_s = 0.0
     qc_fail_rate = 0.0
     transfer = {}
-    for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
+    for rep in range(int(os.environ.get("BENCH_REPS", "3"))):
         stats = DetectStats()
         compute.reset_transfer_counters()
         t0 = time.perf_counter()
         _run(records, models, model, params, cfg, batch_size, depth, stats)
         dt = time.perf_counter() - t0
+        _phase(f"rep {rep}: {stats.processed / dt:.2f} reads/s")
         if stats.processed / dt > reads_per_s:
             reads_per_s = stats.processed / dt
             qc_fail_rate = stats.failed / max(1, stats.processed)
             transfer = compute.transfer_counters()
 
+    _phase("stage breakdown")
     stages = _stage_breakdown(records[: 2 * batch_size], models, model,
                               params, cfg, batch_size)
 
     # secondary point: long reads (ultra-long handling, SURVEY §7.3 item 3)
     long_rps = None
     if N_LONG:
+        _phase(f"long-read point: {N_LONG} x {LONG_LEN} bp (new buckets; "
+               "compiles on a cold cache)")
         long_records = list(SimulatedSource(models, cfg, n_reads=N_LONG,
                                             length=LONG_LEN, seed=77))
         lb = max(1, min(8, N_LONG))

@@ -1,106 +1,44 @@
 #!/usr/bin/env python
 """Fine-grained substage profile of detect on the current backend.
 
-Breaks eventalign into: state build, window build (host numpy), viterbi
-dispatch (host pack + upload enqueue), viterbi collect (device block +
-download), post-process (host numpy).  Breaks prep into: event detect
-(native), quantile scaling, fill dispatch, backtrace collect, theil-sen.
+Times the production ``run_eventalign`` fast path by instrumenting its
+internals (state build / window-set build / obs build / viterbi dispatch /
+viterbi collect / post-process) plus prep and CNN, at bench shapes.
 
 Usage: python scripts/profile_fine.py [n_reads] [read_len]
 """
 
 import sys
 import time
+from collections import defaultdict
 
 import numpy as np
-import jax
+
+from dnascent_tpu.utils.jaxcache import enable_compilation_cache
+enable_compilation_cache()
 
 from dnascent_tpu.config import DNA_R10
 from dnascent_tpu.io.poremodel import synthetic_model_set
-from dnascent_tpu.models import cnn as cnn_mod
+from dnascent_tpu.models import reference_cnn
 from dnascent_tpu.pipeline import eventalign as ea
 from dnascent_tpu.pipeline.detect import run_cnn_batched
 from dnascent_tpu.pipeline.prep import prepare_reads
 from dnascent_tpu.pipeline.source import SimulatedSource
 
+T = defaultdict(float)
 
-def profile_eventalign(prepped, models, cfg, tag):
-    t = {}
-    hmm = cfg.hmm
-    hmm_probs = tuple(getattr(hmm, k) for k in ea.HMM_KEY)
-    t0 = time.perf_counter()
-    states = [ea._build_state(p, models, cfg)
-              for p in prepped if p.passed and p.event_alignment.shape[0]]
-    t["state build"] = time.perf_counter() - t0
 
-    t_buckets = (256, 1024)
-    t0 = time.perf_counter()
-    all_windows = []
-    ranges = []
-    for st in states:
-        w0 = len(all_windows)
-        all_windows.extend(ea._build_all_windows(st, cfg, t_buckets[-1]))
-        ranges.append((st, w0, len(all_windows)))
-    t["window build"] = time.perf_counter() - t0
+def _wrap(mod, name, key):
+    fn = getattr(mod, name)
 
-    order = sorted(range(len(all_windows)),
-                   key=lambda i: all_windows[i].obs_scaled.shape[0])
-    t0 = time.perf_counter()
-    handles = []
-    for c0 in range(0, len(order), 4096):
-        chunk_ids = order[c0:c0 + 4096]
-        chunk = [all_windows[i] for i in chunk_ids]
-        handles.append((chunk_ids, ea._viterbi_windows_dispatch(
-            chunk, models, cfg, hmm_probs, 72, t_buckets)))
-    t["viterbi dispatch"] = time.perf_counter() - t0
+    def timed(*a, **k):
+        t0 = time.perf_counter()
+        r = fn(*a, **k)
+        T[key] += time.perf_counter() - t0
+        return r
 
-    t0 = time.perf_counter()
-    results = {}
-    for chunk_ids, h in handles:
-        for wid, res in zip(chunk_ids, ea._viterbi_windows_collect(h)):
-            results[wid] = res
-    t["viterbi collect"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    for st, w0, w1 in ranges:
-        ea._process_read_windows_batched(
-            st, all_windows[w0:w1], [results[i] for i in range(w0, w1)], cfg)
-    t["post-process"] = time.perf_counter() - t0
-
-    total = sum(t.values())
-    n_win = len(all_windows)
-    tsum = sum(w.obs_scaled.shape[0] for w in all_windows)
-    print(f"--- eventalign[{tag}]: {len(states)} reads, {n_win} windows, "
-          f"{tsum} obs, total {total*1000:.0f} ms")
-    for k, v in t.items():
-        print(f"  {k:20s} {v*1000:9.1f} ms")
-    # rebuild results dict into run_eventalign-compatible output
-    out = {}
-    for st in states:
-        rid = st.p.record.read_id
-        acc = st.acc
-        if not acc["coord"]:
-            continue
-
-        def cat(xs, dtype):
-            return np.concatenate([np.atleast_1d(np.asarray(x, dtype))
-                                   for x in xs])
-        n_signals = cat(acc["nsig"], np.int64)
-        out[rid] = ea.EventalignResult(ea.AlignedPositions(
-            coord=cat(acc["coord"], np.int64),
-            kmer_start=cat(acc["kmer_start"], np.int64),
-            query_idx=cat(acc["query_idx"], np.int64),
-            ref_idx=cat(acc["ref_idx"], np.int64),
-            core_idx=cat(acc["core"], np.int64),
-            residual_idx=cat(acc["res"], np.int64),
-            n_signals=n_signals,
-            center_is_T=cat(acc["centerT"], bool),
-            indel_score=cat(acc["indel"], np.int64),
-            signal_u8_flat=np.concatenate(acc["sigflat"]),
-            signal_counts=np.minimum(n_signals, 20).astype(np.uint8),
-            _sig_store=ea._merge_sig_stores(acc["sigstore"]),
-        ), None, True)
-    return out
+    setattr(mod, name, timed)
+    return fn
 
 
 def main():
@@ -108,21 +46,38 @@ def main():
     read_len = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
     cfg = DNA_R10
     models = synthetic_model_set(cfg)
-    model = cnn_mod.create_model()
-    params = cnn_mod.default_params(model)
-    src = SimulatedSource(models, cfg, n_reads=n_reads, length=read_len,
-                          seed=77)
-    records = list(src)
+    model = reference_cnn.create_model()
+    params = reference_cnn.params_from_tensors(
+        reference_cnn.synthetic_tensors(0))
+    records = list(SimulatedSource(models, cfg, n_reads=n_reads,
+                                   length=read_len, seed=77))
+
+    _wrap(ea, "_build_state", "ea: state build")
+    _wrap(ea, "_build_window_set", "ea: window-set build")
+    _wrap(ea, "_obs_build_jit", "ea: obs build (device)")
+    _wrap(ea, "_viterbi_dispatch_flat_arrays", "ea: viterbi dispatch")
+    _wrap(ea, "_viterbi_windows_collect", "ea: viterbi collect")
+    _wrap(ea, "_process_read_windows_batched", "ea: post-process")
 
     for tag in ("warm", "steady", "steady2"):
+        T.clear()
         t0 = time.perf_counter()
         prepped = prepare_reads(records, models, cfg)
         t_prep = time.perf_counter() - t0
-        results = profile_eventalign(prepped, models, cfg, tag)
         t0 = time.perf_counter()
-        probs = run_cnn_batched(model, params, results, prepped)
+        results = ea.run_eventalign(prepped, models, cfg, collect_text=False)
+        t_ea = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_cnn_batched(model, params, results, prepped)
         t_cnn = time.perf_counter() - t0
-        print(f"  prep {t_prep*1000:9.1f} ms   cnn {t_cnn*1000:9.1f} ms")
+        total = t_prep + t_ea + t_cnn
+        print(f"--- {tag}: {n_reads} reads x {read_len} bp, "
+              f"total {total:.2f}s ({n_reads/total:.2f} reads/s unpipelined)")
+        print(f"  prep                  {t_prep*1000:9.1f} ms")
+        print(f"  eventalign            {t_ea*1000:9.1f} ms")
+        for k in sorted(T):
+            print(f"    {k:22s} {T[k]*1000:7.1f} ms")
+        print(f"  cnn                   {t_cnn*1000:9.1f} ms")
 
 
 if __name__ == "__main__":
