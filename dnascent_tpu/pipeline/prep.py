@@ -136,13 +136,17 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
         return max(8, -(-B // 8) * 8)
 
     def _pallas_fill_batch(E, K):
-        """Largest fill batch (multiple of 8, <=16) whose VMEM-resident
-        inputs (3 coefficient planes + events, all f32 after on-kernel
-        expansion, plus window scratch) fit the ~11 MB budget; 0 if even
-        the 8-row floor does not fit."""
-        for B in (16, 8):
+        """Largest fill batch (multiple of 8, <= MAX_FILL_B) whose
+        VMEM-resident inputs (3 coefficient planes + events, all f32 after
+        on-kernel expansion, plus window scratch) fit the ~11 MB budget;
+        0 if even the 8-row floor does not fit.  Bigger batches amortise the
+        kernel's per-grid-step overhead (the fill is step-overhead bound, so
+        throughput scales almost linearly with B until VMEM runs out)."""
+        B = MAX_FILL_B
+        while B >= 8:
             if 4 * (3 * B * (K + 700) + B * (E + 700)) <= 11_000_000:
                 return B
+            B -= 8
         return 0
 
     buckets: dict[tuple[int, int], list[PreparedRead]] = {}
@@ -170,12 +174,13 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
         from ..ops.banded_pallas import banded_fill_pallas_jit
         return banded_fill_pallas_jit
 
-    # cap the fill batch: the Pallas kernel unrolls per-row bookkeeping, so
-    # compile size (and remote-compile time) grows with B.  For long reads
-    # the cap shrinks further (min 8, the sublane batch floor) so the bucket
-    # still fits the VMEM budget and takes the fast kernel — at B=8 that
-    # covers reads to ~85 kb before the XLA-scan fallback kicks in.
-    MAX_FILL_B = 16
+    # cap the fill batch: the Pallas kernel unrolls per-row refill
+    # bookkeeping, so compile size (and remote-compile time) grows with B.
+    # For long reads the cap shrinks (min 8, the sublane batch floor) so the
+    # bucket still fits the VMEM budget and takes the fast kernel — at B=8
+    # that covers reads to ~85 kb before the XLA-scan fallback kicks in.
+    import os as _os
+    MAX_FILL_B = int(_os.environ.get("DNASCENT_MAX_FILL_B", "16"))
     split_groups = []
     global _SPILL_NOTED
     for (E, K), group in buckets.items():
