@@ -33,17 +33,6 @@ def _load_models(cfg):
     return load_model_set(cfg)
 
 
-def _progress(label):
-    n = {"count": 0}
-
-    def cb(*_a):
-        n["count"] += 1
-        if n["count"] % 50 == 0:
-            print(f"\r{label}: {n['count']}", end="", file=sys.stderr,
-                  flush=True)
-    return cb
-
-
 # ---------------------------------------------------------------------------
 # index
 # ---------------------------------------------------------------------------
@@ -204,6 +193,11 @@ def main_detect(argv):
     models = _load_models(cfg)
     src, ref, missing = _open_source(a, cfg, a.length, shard=shard)
 
+    # countRecords pre-pass for the progress bar total (the reference scans
+    # the BAM before streaming, detect.cpp:829 + htsInterface.cpp:15-30)
+    from .utils.progress import ProgressBar, StageTimer
+    total = src.count_records()
+
     done_ids = set()
     if a.resume and human_readable and os.path.exists(out_path):
         # checkpoint/resume: the reference restarts whole runs only (SURVEY
@@ -220,6 +214,10 @@ def main_detect(argv):
     from .pipeline.detect import DetectStats, detect_reads
 
     stats = DetectStats()
+    # progress bar with ETA + failure counter (reference: common.h:30-88)
+    bar = ProgressBar(max(1, total - len(done_ids)))
+    timer = (StageTimer()
+             if os.environ.get("DNASCENT_STAGE_TIMES") == "1" else None)
     if a.HMM:
         from .pipeline.hmm_detect import hmm_detect_reads
         writer = DetectHRWriter(out_path) if human_readable else None
@@ -233,6 +231,7 @@ def main_detect(argv):
         for rid, text in hmm_detect_reads(src, models, cfg, stats=stats):
             if text:
                 writer._fh.write(text)
+            bar.display(stats.processed, stats.failed)
         writer.close()
     else:
         model, params = _load_cnn(a)
@@ -245,8 +244,11 @@ def main_detect(argv):
                                                  a.length))
                 for _rid, d in detect_reads(
                         src, models, model, params, cfg, stats=stats,
-                        strict_windows=a.strict_windows):
-                    w.write(d)
+                        strict_windows=a.strict_windows,
+                        collect_failures=True, timer=timer):
+                    if d is not None:
+                        w.write(d)
+                    bar.display(stats.processed, stats.failed)
         else:
             from .io.bam import BamReader
             from .io.modbam import ModBamWriter
@@ -257,8 +259,16 @@ def main_detect(argv):
                 hdr_reader.close()
                 for _rid, d in detect_reads(
                         src, models, model, params, cfg, stats=stats,
-                        strict_windows=a.strict_windows):
-                    w.write(d)
+                        strict_windows=a.strict_windows,
+                        collect_failures=True, timer=timer):
+                    if d is not None:
+                        w.write(d)
+                    bar.display(stats.processed, stats.failed)
+    bar.display(stats.processed, stats.failed)
+    bar.finish()
+    if timer is not None:
+        print("stage wall-clock totals:", file=sys.stderr)
+        timer.report()
     log = os.path.splitext(out_path)[0] + ".detect.log"
     with open(log, "w") as fh:
         for rid in missing:
@@ -293,9 +303,18 @@ def main_align(argv):
                    "(faster; rows differ where the couplings diverge)")
     a = p.parse_args(argv)
     cfg = DNA_R10
-    _setup_parallel(a)   # align shards its Viterbi batches over --devices
+    procid, nprocs = _setup_parallel(a)
+    # multi-process sharding mirrors detect (reference: the same OpenMP read
+    # loop drives align, src/alignment.cpp:826): each process takes every
+    # nprocs-th read, writes its own shard file, and the shards are merged
+    # deterministically once all are present
+    shard = (procid, nprocs) if nprocs > 1 else None
+    out_path = a.output
+    if shard:
+        from .parallel.merge import host_shard_path
+        out_path = host_shard_path(a.output, procid)
     models = _load_models(cfg)
-    src, ref, missing = _open_source(a, cfg, a.length)
+    src, ref, missing = _open_source(a, cfg, a.length, shard=shard)
     from .io.writers import AlignHRWriter
     from .pipeline.prep import prepare_reads
     from .pipeline.eventalign import run_eventalign
@@ -305,7 +324,11 @@ def main_align(argv):
     # the speculative wavefront keeps it within ~1.6x of fast mode
     strict = a.strict_windows or not a.fast_windows
     n_ok = n_fail = 0
-    with AlignHRWriter(a.output) as w:
+    # progress bar with ETA + failure counter (reference: common.h:30-88,
+    # fed by the countRecords pre-pass like align_main, alignment.cpp:806)
+    from .utils.progress import ProgressBar
+    bar = ProgressBar(max(1, src.count_records()))
+    with AlignHRWriter(out_path) as w:
         batch = []
         def flush(batch):
             nonlocal n_ok, n_fail
@@ -319,6 +342,7 @@ def main_align(argv):
                     n_ok += 1
                 else:
                     n_fail += 1
+            bar.display(n_ok + n_fail, n_fail)
         for rec in src:
             batch.append(rec)
             if len(batch) >= 32:
@@ -326,11 +350,27 @@ def main_align(argv):
                 batch = []
         if batch:
             flush(batch)
-    log = os.path.splitext(a.output)[0] + ".align.log"
+    bar.finish()
+    log = os.path.splitext(out_path)[0] + ".align.log"
     with open(log, "w") as fh:
         for rid in missing:
             fh.write(f"ReadID {rid} missing from index. Skipping.\n")
     print(f"\nalign: {n_ok} reads, {n_fail} failed QC")
+    if shard:
+        from .parallel.merge import (all_shards_present, host_shard_path,
+                                     merge_host_outputs)
+        if a.coordinator:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("align_shards_done")
+        if (procid == 0 or not a.coordinator) and all_shards_present(
+                a.output, nprocs):
+            n = merge_host_outputs(
+                [host_shard_path(a.output, i) for i in range(nprocs)],
+                a.output)
+            print(f"merged {nprocs} shards -> {a.output} ({n} reads)")
+        elif not a.coordinator:
+            print(f"shard {procid}/{nprocs} written to {out_path}; the "
+                  "final shard run merges all shards", file=sys.stderr)
     return 0
 
 
@@ -378,11 +418,15 @@ def main_forksense(argv):
         # inside forksense_run so every host's 2-means is identical
         ordinals = list(range(procid, len(reads), nprocs))
         reads = [reads[i] for i in ordinals]
+    from .utils.progress import ProgressBar
+    bar = ProgressBar(max(1, len(reads)), show_failures=False)
     inc, outputs = fsm.forksense_run(
         reads, a.order, cfg, read_ordinals=ordinals,
+        progress_cb=bar.display,
         mark_origins=a.markOrigins, mark_terms=a.markTerminations,
         mark_forks=a.markForks, mark_analogues=a.markAnalogues,
         make_signatures=a.makeSignatures, human_readable=human_readable)
+    bar.finish()
 
     print(f"Estimated fraction of BrdU substitution in BrdU-positive "
           f"regions: {inc.centroid_1}", file=sys.stderr)

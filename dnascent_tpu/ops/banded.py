@@ -200,15 +200,42 @@ def banded_fill_jit(scaled_events, mu, inv_sigma, lp_const, n_events, n_kmers,
                        bandwidth, epsilon_skip, p_trim)
 
 
+@functools.lru_cache(maxsize=None)
+def _banded_fill_sharded_fn(mesh, bandwidth, epsilon_skip, p_trim):
+    from jax.sharding import PartitionSpec as P
+
+    def inner(scaled_events, mu, inv_sigma, lp_const, n_events, n_kmers):
+        return banded_fill(scaled_events, mu, inv_sigma, lp_const, n_events,
+                           n_kmers, bandwidth, epsilon_skip, p_trim)
+
+    row2 = P("data", None)
+    sm = jax.shard_map(
+        inner, mesh=mesh, check_vma=False,
+        in_specs=(row2, row2, row2, row2, P("data"), P("data")),
+        out_specs=(P(None, "data", None), P(None, "data"), P("data"),
+                   P("data")))
+    return jax.jit(sm)
+
+
+def banded_fill_sharded(mesh, scaled_events, mu, inv_sigma, lp_const,
+                        n_events, n_kmers, bandwidth=100, epsilon_skip=1e-30,
+                        p_trim=0.01):
+    """Explicitly batch-sharded XLA fill: each mesh device runs the scan on
+    its row shard (shard_map, no cross-device collectives).  Per-row math is
+    identical to :func:`banded_fill_jit`, so N-device output is bitwise equal
+    to 1-device."""
+    return _banded_fill_sharded_fn(mesh, bandwidth, epsilon_skip, p_trim)(
+        scaled_events, mu, inv_sigma, lp_const, n_events, n_kmers)
+
+
 MOVE_D, MOVE_U, MOVE_L, MOVE_PAD = 0, 1, 2, 3
 
 
-@functools.partial(jax.jit, static_argnames=("bandwidth",))
-def backtrace_moves_device(trace_packed: jnp.ndarray,   # (n_steps, B, W) u8
-                           rights_packed: jnp.ndarray,  # (n_steps, B) u8
-                           best_event: jnp.ndarray,     # (B,) i32
-                           n_kmers: jnp.ndarray,        # (B,) i32
-                           bandwidth: int = 100):
+def _backtrace_moves(trace_packed: jnp.ndarray,   # (n_steps, B, W) u8
+                     rights_packed: jnp.ndarray,  # (n_steps, B) u8
+                     best_event: jnp.ndarray,     # (B,) i32
+                     n_kmers: jnp.ndarray,        # (B,) i32
+                     bandwidth: int = 100):
     """On-device backtrace pointer chase, vectorised across the batch.
 
     Emits the path as packed 2-bit moves in *backward* order (step 0 is the
@@ -270,6 +297,37 @@ def backtrace_moves_device(trace_packed: jnp.ndarray,   # (n_steps, B, W) u8
     packed = (b4[:, 0] | (b4[:, 1] << 2) | (b4[:, 2] << 4)
               | (b4[:, 3] << 6)).astype(jnp.uint8)
     return packed                                     # (Lp/4, B) u8
+
+
+@functools.partial(jax.jit, static_argnames=("bandwidth",))
+def backtrace_moves_device(trace_packed, rights_packed, best_event, n_kmers,
+                           bandwidth: int = 100):
+    return _backtrace_moves(trace_packed, rights_packed, best_event, n_kmers,
+                            bandwidth)
+
+
+@functools.lru_cache(maxsize=None)
+def _backtrace_moves_sharded_fn(mesh, bandwidth):
+    from jax.sharding import PartitionSpec as P
+
+    def inner(tp, rp, best_event, n_kmers):
+        return _backtrace_moves(tp, rp, best_event, n_kmers, bandwidth)
+
+    sm = jax.shard_map(
+        inner, mesh=mesh, check_vma=False,
+        in_specs=(P(None, "data", None), P(None, "data"), P("data"),
+                  P("data")),
+        out_specs=P(None, "data"))
+    return jax.jit(sm)
+
+
+def backtrace_moves_sharded(mesh, trace_packed, rights_packed, best_event,
+                            n_kmers, bandwidth: int = 100):
+    """Batch-sharded backtrace chase: each device chases its own rows
+    (shard_map; the chase's per-row gathers would otherwise tempt GSPMD into
+    all-gathering the trace planes)."""
+    return _backtrace_moves_sharded_fn(mesh, bandwidth)(
+        trace_packed, rights_packed, best_event, n_kmers)
 
 
 def decode_moves_host(packed: np.ndarray, col: int, best_event: int,

@@ -379,3 +379,35 @@ def banded_fill_pallas_from_ranks_jit(scaled_events, ranks, model_table,
     return _fill_from_ranks(scaled_events, ranks, model_table, n_events,
                             n_kmers, bandwidth, epsilon_skip, p_trim)
 
+
+@functools.lru_cache(maxsize=None)
+def _codes_fill_sharded_fn(mesh, bandwidth, epsilon_skip, p_trim):
+    from jax.sharding import PartitionSpec as P
+
+    def inner(scaled_events, codes, model_table, n_events, n_kmers):
+        from .seqcodes import ranks_from_codes
+        ranks = ranks_from_codes(codes)
+        return _fill_from_ranks(scaled_events, ranks, model_table, n_events,
+                                n_kmers, bandwidth, epsilon_skip, p_trim)
+
+    row2 = P("data", None)
+    sm = jax.shard_map(
+        inner, mesh=mesh, check_vma=False,
+        in_specs=(row2, row2, P(), P("data"), P("data")),
+        out_specs=(P(None, "data", None), P(None, "data"), P("data"),
+                   P("data")))
+    return jax.jit(sm)
+
+
+def banded_fill_pallas_from_codes_sharded(mesh, scaled_events, codes,
+                                          model_table, n_events, n_kmers,
+                                          bandwidth=100, epsilon_skip=1e-30,
+                                          p_trim=0.01):
+    """Mesh-parallel Pallas fill: each device runs the Pallas kernel on its
+    row shard via shard_map (pallas_call has no GSPMD partitioning rule, so
+    a plain jit under a mesh would replicate the whole batch on every
+    device).  Per-row math is identical to the single-device codes variant,
+    so N-device output is bitwise equal to 1-device."""
+    return _codes_fill_sharded_fn(mesh, bandwidth, epsilon_skip, p_trim)(
+        scaled_events, codes, model_table, n_events, n_kmers)
+

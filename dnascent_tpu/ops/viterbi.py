@@ -274,6 +274,20 @@ def viterbi_jit(obs, n_obs, mu, inv_sigma, lp_const, n_states, events_per_base,
                                   n_states, events_per_base, hmm_probs)
 
 
+def _viterbi_from_flat_ranks(obs, n_obs, starts, flat_ranks, model_table,
+                             n_states, events_per_base, hmm_probs,
+                             n_state_pad):
+    N = n_state_pad
+    idx = starts[:, None] + jnp.arange(N, dtype=jnp.int32)[None, :]
+    r = flat_ranks[jnp.clip(idx, 0, flat_ranks.shape[0] - 1)]
+    in_range = jnp.arange(N, dtype=jnp.int32)[None, :] < n_states[:, None]
+    ranks = jnp.where(in_range, r, -1)
+    pc, pl, score = viterbi_from_ranks_core(obs, n_obs, ranks, model_table,
+                                            n_states, events_per_base,
+                                            hmm_probs)
+    return pack_path_codes(pc), pl, score
+
+
 @functools.partial(jax.jit, static_argnames=("hmm_probs", "n_state_pad"))
 def viterbi_from_flat_ranks_jit(obs, n_obs, starts, flat_ranks, model_table,
                                 n_states, events_per_base, hmm_probs,
@@ -281,9 +295,47 @@ def viterbi_from_flat_ranks_jit(obs, n_obs, starts, flat_ranks, model_table,
     """Upload-lean variant: windows carry only a start offset into a flat
     per-batch reference-rank array resident on device (uploaded once by
     prep), so the per-call metadata is a few KB."""
+    return _viterbi_from_flat_ranks(obs, n_obs, starts, flat_ranks,
+                                    model_table, n_states, events_per_base,
+                                    hmm_probs, n_state_pad)
+
+
+@functools.lru_cache(maxsize=None)
+def _viterbi_from_flat_ranks_sharded_fn(mesh, hmm_probs, n_state_pad):
+    from jax.sharding import PartitionSpec as P
+
+    def inner(obs, n_obs, starts, flat_ranks, model_table, n_states, epb):
+        return _viterbi_from_flat_ranks(obs, n_obs, starts, flat_ranks,
+                                        model_table, n_states, epb,
+                                        hmm_probs, n_state_pad)
+
+    sm = jax.shard_map(
+        inner, mesh=mesh, check_vma=False,
+        in_specs=(P("data", None), P("data"), P("data"), P(), P(),
+                  P("data"), P("data")),
+        out_specs=(P("data", None), P("data"), P("data")))
+    return jax.jit(sm)
+
+
+def viterbi_from_flat_ranks_sharded(mesh, obs, n_obs, starts, flat_ranks,
+                                    model_table, n_states, events_per_base,
+                                    hmm_probs, n_state_pad):
+    """Window-sharded variant (shard_map over the mesh's data axis): each
+    device runs the fill — Pallas on accelerators — on its window shard."""
+    return _viterbi_from_flat_ranks_sharded_fn(mesh, hmm_probs, n_state_pad)(
+        obs, n_obs, starts, flat_ranks, model_table, n_states,
+        events_per_base)
+
+
+def _viterbi_from_flat(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
+                       model_table, n_states, events_per_base, hmm_probs,
+                       n_state_pad, t_pad):
+    T = t_pad
+    oidx = obs_starts[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    obs = obs_flat[jnp.clip(oidx, 0, obs_flat.shape[0] - 1)]
     N = n_state_pad
-    idx = starts[:, None] + jnp.arange(N, dtype=jnp.int32)[None, :]
-    r = flat_ranks[jnp.clip(idx, 0, flat_ranks.shape[0] - 1)]
+    ridx = rank_starts[:, None] + jnp.arange(N, dtype=jnp.int32)[None, :]
+    r = flat_ranks[jnp.clip(ridx, 0, flat_ranks.shape[0] - 1)]
     in_range = jnp.arange(N, dtype=jnp.int32)[None, :] < n_states[:, None]
     ranks = jnp.where(in_range, r, -1)
     pc, pl, score = viterbi_from_ranks_core(obs, n_obs, ranks, model_table,
@@ -302,18 +354,40 @@ def viterbi_from_flat_jit(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
     window chunk ships only its i32 offset vectors.  ``t_pad`` is the static
     time bucket; junk beyond ``n_obs`` is masked by the scan.  Path codes
     come back nibble-packed."""
-    T = t_pad
-    oidx = obs_starts[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-    obs = obs_flat[jnp.clip(oidx, 0, obs_flat.shape[0] - 1)]
-    N = n_state_pad
-    ridx = rank_starts[:, None] + jnp.arange(N, dtype=jnp.int32)[None, :]
-    r = flat_ranks[jnp.clip(ridx, 0, flat_ranks.shape[0] - 1)]
-    in_range = jnp.arange(N, dtype=jnp.int32)[None, :] < n_states[:, None]
-    ranks = jnp.where(in_range, r, -1)
-    pc, pl, score = viterbi_from_ranks_core(obs, n_obs, ranks, model_table,
-                                            n_states, events_per_base,
-                                            hmm_probs)
-    return pack_path_codes(pc), pl, score
+    return _viterbi_from_flat(obs_flat, obs_starts, n_obs, rank_starts,
+                              flat_ranks, model_table, n_states,
+                              events_per_base, hmm_probs, n_state_pad, t_pad)
+
+
+@functools.lru_cache(maxsize=None)
+def _viterbi_from_flat_sharded_fn(mesh, hmm_probs, n_state_pad, t_pad):
+    from jax.sharding import PartitionSpec as P
+
+    def inner(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
+              model_table, n_states, epb):
+        return _viterbi_from_flat(obs_flat, obs_starts, n_obs, rank_starts,
+                                  flat_ranks, model_table, n_states, epb,
+                                  hmm_probs, n_state_pad, t_pad)
+
+    sm = jax.shard_map(
+        inner, mesh=mesh, check_vma=False,
+        in_specs=(P(), P("data"), P("data"), P("data"), P(), P(),
+                  P("data"), P("data")),
+        out_specs=(P("data", None), P("data"), P("data")))
+    return jax.jit(sm)
+
+
+def viterbi_from_flat_sharded(mesh, obs_flat, obs_starts, n_obs, rank_starts,
+                              flat_ranks, model_table, n_states,
+                              events_per_base, hmm_probs, n_state_pad, t_pad):
+    """Window-sharded flat variant: the flat observation/rank streams are
+    replicated, the per-window offset vectors are sharded, and each device
+    runs its shard's fill — the Pallas kernel on accelerators — under
+    shard_map (a plain jit under a mesh would replicate the pallas_call)."""
+    return _viterbi_from_flat_sharded_fn(mesh, hmm_probs, n_state_pad,
+                                         t_pad)(
+        obs_flat, obs_starts, n_obs, rank_starts, flat_ranks, model_table,
+        n_states, events_per_base)
 
 
 def _pallas_fill_default() -> bool:
@@ -354,6 +428,31 @@ def viterbi_from_ranks_jit(obs, n_obs, ranks, model_table, n_states,
     pc, pl, score = viterbi_fill_backtrace(obs, n_obs, mu, inv_sigma, lp_const,
                                            n_states, events_per_base, hmm_probs)
     return pack_path_codes(pc), pl, score
+
+
+@functools.lru_cache(maxsize=None)
+def _viterbi_from_ranks_sharded_fn(mesh, hmm_probs):
+    from jax.sharding import PartitionSpec as P
+
+    def inner(obs, n_obs, ranks, model_table, n_states, epb):
+        pc, pl, score = viterbi_from_ranks_core(obs, n_obs, ranks,
+                                                model_table, n_states, epb,
+                                                hmm_probs)
+        return pack_path_codes(pc), pl, score
+
+    sm = jax.shard_map(
+        inner, mesh=mesh, check_vma=False,
+        in_specs=(P("data", None), P("data"), P("data", None), P(),
+                  P("data"), P("data")),
+        out_specs=(P("data", None), P("data"), P("data")))
+    return jax.jit(sm)
+
+
+def viterbi_from_ranks_sharded(mesh, obs, n_obs, ranks, model_table,
+                               n_states, events_per_base, hmm_probs):
+    """Window-sharded rank variant (shard_map over the mesh's data axis)."""
+    return _viterbi_from_ranks_sharded_fn(mesh, hmm_probs)(
+        obs, n_obs, ranks, model_table, n_states, events_per_base)
 
 
 def decode_path(codes: np.ndarray, n_states: int):

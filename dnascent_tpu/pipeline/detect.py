@@ -356,7 +356,7 @@ def detect_reads(records: Iterable[ReadRecord], models: PoreModelSet,
                  model=None, params=None, cfg: SubstrateConfig = DNA_R10,
                  batch_size: int = 16, stats: Optional[DetectStats] = None,
                  collect_failures: bool = False, strict_windows: bool = False,
-                 pipeline_depth: int = 4):
+                 pipeline_depth: int = 4, timer=None):
     """Generator over DetectedRead results, processing in read batches.
 
     Batches are software-pipelined ``pipeline_depth`` deep across worker
@@ -375,11 +375,22 @@ def detect_reads(records: Iterable[ReadRecord], models: PoreModelSet,
     # reference replicates its SavedModel per GPU; SURVEY §2.3)
     params = compute.put_rep_tree(params)
 
+    # optional utils.progress.StageTimer: per-stage wall-clock telemetry
+    # (the framework's replacement for the reference's commented chrono
+    # probes, event_handling.cpp:150-151).  Totals are approximate when
+    # pipeline workers overlap (telemetry, not accounting).
+    from contextlib import nullcontext
+    tctx = ((lambda name: timer.time(name)) if timer is not None
+            else (lambda name: nullcontext()))
+
     def process(batch):
-        prepped = prepare_reads(batch, models, cfg)
-        results = run_eventalign(prepped, models, cfg, collect_text=False,
-                                 strict=strict_windows)
-        probs_by_read = run_cnn_batched(model, params, results, prepped)
+        with tctx("prep(events+scaling+banded)"):
+            prepped = prepare_reads(batch, models, cfg)
+        with tctx("eventalign(viterbi)"):
+            results = run_eventalign(prepped, models, cfg, collect_text=False,
+                                     strict=strict_windows)
+        with tctx("cnn_forward"):
+            probs_by_read = run_cnn_batched(model, params, results, prepped)
         out = []
         for p in prepped:
             rid = p.record.read_id

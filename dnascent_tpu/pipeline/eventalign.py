@@ -700,7 +700,8 @@ def _viterbi_windows_dispatch(windows: list[_Window], models: PoreModelSet,
     W = 8
     while W < len(windows):
         W *= 2
-    W = compute.pad_rows(W)
+    # under a mesh every device must see >= 8 rows (Pallas sublane floor)
+    W = compute.pad_rows(max(W, 8 * compute.data_axis_size()))
     n = len(windows)
     obs_list = [w.obs_scaled for w in windows]
     lens = np.fromiter((o.shape[0] for o in obs_list), np.int64, n)
@@ -731,17 +732,32 @@ def _viterbi_windows_dispatch(windows: list[_Window], models: PoreModelSet,
     epb[:n] = np.fromiter((w.state.p.events_per_base for w in windows),
                           np.float64, n)
     flat = windows[0].state.p.flat_ranks_device
+    mesh = compute.get_compute_mesh()
     if flat is not None and all(w.state.p.flat_ranks_device is flat
                                 for w in windows):
         starts = np.zeros(W, dtype=np.int32)
         starts[:n] = np.fromiter(
             (w.state.p.flat_ranks_offset + w.ref_index for w in windows),
             np.int64, n)
-        pc, pl, _score = vit.viterbi_from_flat_ranks_jit(
-            compute.put_rows(obs), compute.put_rows(n_obs),
-            compute.put_rows(starts), flat,
+        if mesh is not None:
+            # shard_map keeps the per-device Pallas fill under the mesh
+            pc, pl, _score = vit.viterbi_from_flat_ranks_sharded(
+                mesh, compute.put_rows(obs), compute.put_rows(n_obs),
+                compute.put_rows(starts), flat,
+                _device_model_table(models), compute.put_rows(n_states),
+                compute.put_rows(epb), hmm_probs, N)
+        else:
+            pc, pl, _score = vit.viterbi_from_flat_ranks_jit(
+                compute.put_rows(obs), compute.put_rows(n_obs),
+                compute.put_rows(starts), flat,
+                _device_model_table(models), compute.put_rows(n_states),
+                compute.put_rows(epb), hmm_probs, N)
+    elif mesh is not None:
+        pc, pl, _score = vit.viterbi_from_ranks_sharded(
+            mesh, compute.put_rows(obs), compute.put_rows(n_obs),
+            compute.put_rows(rk),
             _device_model_table(models), compute.put_rows(n_states),
-            compute.put_rows(epb), hmm_probs, N)
+            compute.put_rows(epb), hmm_probs)
     else:
         pc, pl, _score = vit.viterbi_from_ranks_jit(
             compute.put_rows(obs), compute.put_rows(n_obs),
@@ -792,7 +808,8 @@ def _viterbi_dispatch_flat_arrays(lens: np.ndarray, ostarts: np.ndarray,
         W *= 2
     if n > _gran:
         W = -(-n // _gran) * _gran
-    W = compute.pad_rows(W)
+    # under a mesh every device must see >= 8 rows (Pallas sublane floor)
+    W = compute.pad_rows(max(W, 8 * compute.data_axis_size()))
     T = next(b for b in t_buckets if b >= int(lens.max()))
     n_obs = np.zeros(W, dtype=np.int32)
     n_obs[:n] = lens
@@ -804,11 +821,21 @@ def _viterbi_dispatch_flat_arrays(lens: np.ndarray, ostarts: np.ndarray,
     n_states[:n] = ns
     epb_p = np.ones(W, dtype=np.float32)
     epb_p[:n] = epb
-    pc, pl, _score = vit.viterbi_from_flat_jit(
-        obs_flat_dev, compute.put_rows(ostarts_p), compute.put_rows(n_obs),
-        compute.put_rows(rstarts_p), ranks_flat_dev,
-        _device_model_table(models), compute.put_rows(n_states),
-        compute.put_rows(epb_p), hmm_probs, n_state_pad, T)
+    mesh = compute.get_compute_mesh()
+    if mesh is not None:
+        # shard_map keeps the per-device Pallas fill under the mesh
+        pc, pl, _score = vit.viterbi_from_flat_sharded(
+            mesh, obs_flat_dev, compute.put_rows(ostarts_p),
+            compute.put_rows(n_obs), compute.put_rows(rstarts_p),
+            ranks_flat_dev, _device_model_table(models),
+            compute.put_rows(n_states), compute.put_rows(epb_p), hmm_probs,
+            n_state_pad, T)
+    else:
+        pc, pl, _score = vit.viterbi_from_flat_jit(
+            obs_flat_dev, compute.put_rows(ostarts_p), compute.put_rows(n_obs),
+            compute.put_rows(rstarts_p), ranks_flat_dev,
+            _device_model_table(models), compute.put_rows(n_states),
+            compute.put_rows(epb_p), hmm_probs, n_state_pad, T)
     _enqueue_d2h(pc, pl)
     return pc, pl, ns, n
 

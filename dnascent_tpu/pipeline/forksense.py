@@ -711,7 +711,7 @@ def process_read(r: DetectedReadData, inc: KMeansResult, analogue_order: str,
 
 def forksense_run(reads: Iterator[DetectedReadData], analogue_order: str,
                   cfg: SubstrateConfig = DNA_R10, read_ordinals=None,
-                  **kwargs):
+                  progress_cb=None, **kwargs):
     """Two-pass driver (sense_main, forkSense.cpp:1765-1787).  ``reads`` must
     be re-iterable (pass a list or a factory upstream for streams).
 
@@ -742,8 +742,12 @@ def forksense_run(reads: Iterator[DetectedReadData], analogue_order: str,
             f"({bfr.shape[0]} < {fs.min_call_fraction_windows})")
     inc = estimate_analogue_incorporation(bfr, efr, fs)
     outputs = []
-    for r in reads:
-        if r.coords.shape[0] <= fs.min_read_positions:
-            continue
-        outputs.append(process_read(r, inc, analogue_order, cfg, **kwargs))
+    for i, r in enumerate(reads):
+        if r.coords.shape[0] > fs.min_read_positions:
+            outputs.append(process_read(r, inc, analogue_order, cfg,
+                                        **kwargs))
+        if progress_cb is not None:
+            # pass-2 progress hook (the reference's bar over the streamed
+            # reads, forkSense.cpp:1633-1640)
+            progress_cb(i + 1)
     return inc, outputs

@@ -75,6 +75,34 @@ class BamSignalSource:
         # New subsystem vs the reference (single process; SURVEY §5).
         self.shard = shard
 
+    def count_records(self) -> int:
+        """Pre-pass counting the records this source will yield (modulo
+        missing-index skips) — the reference's ``countRecords`` progress-bar
+        total (htsInterface.cpp:15-30, detect.cpp:829).  Signal files are
+        not touched; only the BAM is scanned."""
+        from ..io import bam as bam_io
+        reader = bam_io.BamReader(self.bam_path)
+        n = 0
+        seen = 0
+        for rec in reader:
+            if self.max_reads is not None and n >= self.max_reads:
+                break
+            if rec.is_unmapped or rec.ref_id < 0 or rec.l_seq == 0:
+                continue
+            cigar = rec.cigar()
+            ref_start, ref_end = bam_io.get_ref_span(cigar, rec.pos)
+            if (rec.mapq < self.min_mapq
+                    or ref_end - ref_start < self.min_length):
+                continue
+            if self.shard is not None:
+                owner = seen % self.shard[1] == self.shard[0]
+                seen += 1
+                if not owner:
+                    continue
+            n += 1
+        reader.close()
+        return n
+
     def __iter__(self) -> Iterator[ReadRecord]:
         from ..io import bam as bam_io
         from ..io import fast5_io, pod5_io

@@ -21,8 +21,9 @@ class BadPod5Field(DNAscentError):
 
 
 class VBZError(DNAscentError):
-    def __init__(self):
-        super().__init__("VBZ decompression failed")
+    def __init__(self, detail: str = ""):
+        super().__init__("VBZ decompression failed"
+                         + (f": {detail}" if detail else ""))
 
 
 class OverwriteFailure(DNAscentError):

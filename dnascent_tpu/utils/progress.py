@@ -29,7 +29,8 @@ class ProgressBar:
         bar = "=" * fill + " " * (self.width - fill)
         elapsed = now - self.start
         eta = elapsed / frac - elapsed if frac > 0 else 0.0
-        msg = f"\r[{bar}] {100*frac:5.1f}%  ETA {eta:6.0f}s"
+        msg = (f"\r[{bar}] {100*frac:5.1f}%  {progress}/{self.total}  "
+               f"ETA {eta:6.0f}s")
         if self.show_failures:
             msg += f"  failed: {failed}"
         self.stream.write(msg)

@@ -40,14 +40,21 @@ def main():
     }
 
     def run(c):
+        prev = os.environ.get("DNASCENT_MAX_FILL_B")
         os.environ["DNASCENT_MAX_FILL_B"] = str(c["fill"])
-        stats = DetectStats()
-        t0 = time.perf_counter()
-        for _ in detect_reads(records, models, model, params, cfg,
-                              batch_size=c["batch"], stats=stats,
-                              pipeline_depth=c["depth"]):
-            pass
-        return stats.processed / (time.perf_counter() - t0)
+        try:
+            stats = DetectStats()
+            t0 = time.perf_counter()
+            for _ in detect_reads(records, models, model, params, cfg,
+                                  batch_size=c["batch"], stats=stats,
+                                  pipeline_depth=c["depth"]):
+                pass
+            return stats.processed / (time.perf_counter() - t0)
+        finally:
+            if prev is None:
+                del os.environ["DNASCENT_MAX_FILL_B"]
+            else:
+                os.environ["DNASCENT_MAX_FILL_B"] = prev
 
     best = {k: 0.0 for k in configs}
     for k, c in configs.items():  # warmup/compile both
