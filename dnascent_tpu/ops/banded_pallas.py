@@ -35,6 +35,7 @@ FROM_D, FROM_U, FROM_L = 0, 1, 2
 WIN = 256          # sliding window lanes
 REFILL_STEPS = 32  # refill every 32 grid steps = 128 bands (<= WIN - W - 4)
 FLUSH = 8          # grid steps per output-block flush (one DMA per FLUSH)
+EPAD_L = 256       # lean kernel: left pad of the event plane (see _kernel_lean)
 
 
 def _kernel(coef_ref, ev_ref, revmat_ref, readvec_ref,      # VMEM inputs
@@ -339,6 +340,346 @@ def banded_fill_pallas_jit(scaled_events, mu, inv_sigma, lp_const, n_events,
     return banded_fill_pallas(scaled_events, mu, inv_sigma, lp_const,
                               n_events, n_kmers, bandwidth, epsilon_skip,
                               p_trim)
+
+
+def _kernel_lean(mu_ref, evr_ref, readvec_ref,          # VMEM inputs
+                 trace_ref, rights_ref, best_score_ref, best_event_ref,
+                 prev1, prev2, win_mu, win_ev, e0v_s, k0v_s, rp_s,
+                 best_s, best_e,                         # scratch
+                 *, B: int, W: int, lp_skip: float, lp_trim: float,
+                 h_c: float, Kp: int, Ep: int, n_steps: int):
+    """Static-stdv specialisation of _kernel (the shipping pipeline's case:
+    the banded aligner scores against the ONT model with stdv forced to 0.14,
+    data_IO.cpp:173, so inv_sigma and lp_const are per-call scalars).
+
+    Differences from the general kernel, each removing per-band work from the
+    critical chain (the fill is per-band vector-op latency bound — r3
+    measurements in CLAUDE.md):
+    * ONE coefficient plane (mu) instead of three: em = h_c*(x-mu)^2 with
+      h_c = -0.5*inv_sigma^2 a compile-time scalar and lp_const folded into
+      the per-read lp_stay/lp_step vectors host-side.  Invalid kmers carry
+      mu=+inf, which makes em exactly -inf (finite - inf squared times a
+      negative scalar).
+    * events are stored REVERSED in HBM (evr[j] = ev_p[Ep-1-j]) so the event
+      window slides right on down-moves and the live lanes [D, D+W) are
+      already in band-offset order — no per-band lane-reversal matmul.
+    * validity as a lane-range mask (two compares) instead of materialising
+      (e, k) planes and four compares.
+
+    (A pl.when gate skipping start-cell tracking for provably-dead early
+    bands was tried and REVERTED: four scalar branches per grid step cost
+    ~11% — more than the skipped vector work was worth.)
+    """
+    step = pl.program_id(0)
+    offs = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    half = W // 2
+    D = WIN - W
+
+    @pl.when(step == 0)
+    def _init():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        prev2[:] = jnp.where(lane == half, jnp.float32(0.0), NEG)
+        prev1[:] = jnp.where(lane == half, jnp.float32(lp_trim), NEG)
+        e0v_s[:] = jnp.full((B, 1), half, jnp.int32)
+        k0v_s[:] = jnp.full((B, 1), -1 - half, jnp.int32)
+        rp_s[:] = jnp.zeros((B, 1), jnp.int32)
+        best_s[:] = jnp.full((B, 1), NEG)
+        best_e[:] = jnp.zeros((B, 1), jnp.int32)
+
+    @pl.when(step % REFILL_STEPS == 0)
+    def _refill():
+        e0 = e0v_s[:]
+        k0 = k0v_s[:]
+        for b in range(B):
+            ks = jnp.clip(k0[b, 0] + W, 0, Kp - 384)
+            es = jnp.clip(Ep - 1 - D - EPAD_L - e0[b, 0], 0, Ep - 384)
+            kbase = pl.multiple_of((ks // 128) * 128, 128)
+            ebase = pl.multiple_of((es // 128) * 128, 128)
+            krem = ks - kbase
+            erem = es - ebase
+            sl = mu_ref[b : b + 1, pl.ds(kbase, 384)]
+            win_mu[b : b + 1, :] = pltpu.roll(sl, 384 - krem, 1)[:, :WIN]
+            sl = evr_ref[b : b + 1, pl.ds(ebase, 384)]
+            win_ev[b : b + 1, :] = pltpu.roll(sl, 384 - erem, 1)[:, :WIN]
+
+    trace_acc = jnp.zeros((B, W), dtype=jnp.int32)
+    rights_acc = jnp.zeros((B, 1), dtype=jnp.int32)
+    bs = best_s[:]
+    be = best_e[:]
+    e0v = e0v_s[:]
+    k0v = k0v_s[:]
+    rp = rp_s[:]
+    # lp_const is folded into both transition vectors host-side
+    lp_stay_v = readvec_ref[:, 0:1]
+    lp_step_v = readvec_ref[:, 1:2]
+    n_ev_v = readvec_ref[:, 2:3].astype(jnp.int32)
+    n_km_v = readvec_ref[:, 3:4].astype(jnp.int32)
+
+    wm = win_mu[:]
+    we = win_ev[:]
+    p1 = prev1[:]
+    p2 = prev2[:]
+
+    def shift_left_lane(x):
+        return jnp.concatenate(
+            [x[:, 1:], jnp.zeros((x.shape[0], 1), x.dtype)], axis=1)
+
+    def shift_right_lane(x):
+        return jnp.concatenate(
+            [jnp.zeros((x.shape[0], 1), x.dtype), x[:, :-1]], axis=1)
+
+    for j in range(4):
+        band_idx = step * 4 + j + 2
+        ll = p1[:, 0:1]
+        ur = p1[:, W - 1 : W]
+        both_ob = (ll == NEG) & (ur == NEG)
+        right_i = jnp.where(both_ob, band_idx % 2,
+                            (ll < ur).astype(jnp.int32))  # (B,1) i32
+        rb = right_i == 1
+
+        e0v = e0v + (1 - right_i)
+        k0v = k0v + right_i
+
+        # kmer window slides left on right-moves; the reversed event window
+        # slides right on down-moves
+        wm = jnp.where(rb, shift_left_lane(wm), wm)
+        we = jnp.where(rb, we, shift_right_lane(we))
+
+        t = we[:, D : D + W] - wm[:, :W]
+        em = np.float32(h_c) * (t * t)
+
+        def shift_up(p):
+            return jnp.concatenate([p[:, 1:], jnp.full((B, 1), NEG)], axis=1)
+
+        def shift_down(p):
+            return jnp.concatenate([jnp.full((B, 1), NEG), p[:, :-1]], axis=1)
+
+        up = jnp.where(rb, shift_up(p1), p1)
+        left = jnp.where(rb, p1, shift_down(p1))
+        ddv = right_i + rp
+        diag = jnp.where(ddv == 0, shift_down(p2),
+                         jnp.where(ddv == 1, p2, shift_up(p2)))
+        rp = right_i
+
+        score_d = diag + (lp_step_v + em)
+        score_u = up + (lp_stay_v + em)
+        score_l = left + np.float32(lp_skip)
+        max_du = jnp.maximum(score_d, score_u)
+        from_du = jnp.where(max_du == score_u, FROM_U, FROM_D)
+        max_all = jnp.maximum(max_du, score_l)
+        frm = jnp.where(max_all == score_l, FROM_L, from_du)  # i32
+
+        # validity as a lane range: e = e0-o in [0, n_ev), k = k0+o in
+        # [0, n_km)  <=>  o in [max(-k0, e0-n_ev+1), min(e0, n_km-k0-1)]
+        lo = jnp.maximum(-k0v, e0v - n_ev_v + 1)
+        hi = jnp.minimum(e0v, n_km_v - k0v - 1)
+        valid = (offs >= lo) & (offs <= hi)
+        band = jnp.where(valid, max_all, NEG)
+        frm = jnp.where(valid, frm, 0)
+
+        # trim state (event_handling.cpp:255-265)
+        ot = -1 - k0v
+        e_trim = e0v - ot
+        trim_ok = (ot >= 0) & (ot < W) & (e_trim >= 0) & (e_trim < n_ev_v)
+        is_trim = (offs == ot) & trim_ok
+        band = jnp.where(is_trim,
+                         np.float32(lp_trim) * (e_trim.astype(jnp.float32) + 1.0),
+                         band)
+        frm = jnp.where(is_trim, FROM_U, frm)
+
+        p2 = p1
+        p1 = band
+        trace_acc = trace_acc | (frm << (2 * j))
+        rights_acc = rights_acc | (right_i << j)
+
+        # start-cell tracking (event_handling.cpp:324-340)
+        o_fin = (n_km_v - 1) - k0v
+        e_fin = e0v - o_fin
+        ok = ((o_fin >= 0) & (o_fin < W) & (e_fin >= 0) & (e_fin < n_ev_v))
+        fin_val = jnp.max(jnp.where(offs == o_fin, band, NEG), axis=1,
+                          keepdims=True)
+        cand = fin_val + (n_ev_v - e_fin).astype(jnp.float32) \
+            * np.float32(lp_trim)
+        better = ok & (cand > bs)
+        bs = jnp.where(better, cand, bs)
+        be = jnp.where(better, e_fin, be)
+
+    prev2[:] = p2
+    prev1[:] = p1
+    win_mu[:] = wm
+    win_ev[:] = we
+    e0v_s[:] = e0v
+    k0v_s[:] = k0v
+    rp_s[:] = rp
+    best_s[:] = bs
+    best_e[:] = be
+    trace_ref[step % FLUSH] = trace_acc.astype(jnp.uint8)
+    rights_ref[step % FLUSH] = rights_acc.astype(jnp.uint8).reshape(1, B)
+
+    @pl.when(step == n_steps - 1)
+    def _final():
+        best_score_ref[:] = bs.reshape(1, B)
+        best_event_ref[:] = be.reshape(1, B)
+
+
+def banded_fill_pallas_lean(scaled_events: jnp.ndarray,  # (B, E) f32
+                            mu: jnp.ndarray,             # (B, K) f32, +inf=invalid
+                            n_events: jnp.ndarray,       # (B,) i32
+                            n_kmers: jnp.ndarray,        # (B,) i32
+                            *,
+                            inv_sigma: float,
+                            lp_const: float,
+                            bandwidth: int = 100,
+                            epsilon_skip: float = 1e-30,
+                            p_trim: float = 0.01):
+    """Static-stdv Pallas fill (same outputs as banded_fill_pallas).
+
+    ``inv_sigma`` and ``lp_const`` are per-call Python scalars (the static
+    0.14-stdv model); ``mu`` carries +inf at undefined kmers.
+    """
+    B0, E = scaled_events.shape
+    Bpad = (-B0) % 8
+    if Bpad:
+        scaled_events = jnp.pad(scaled_events, ((0, Bpad), (0, 0)))
+        mu = jnp.pad(mu, ((0, Bpad), (0, 0)), constant_values=np.inf)
+        n_events = jnp.pad(n_events, (0, Bpad), constant_values=2)
+        n_kmers = jnp.pad(n_kmers, (0, Bpad), constant_values=2)
+    B = B0 + Bpad
+    K = mu.shape[1]
+    W = bandwidth
+    assert W + 4 * REFILL_STEPS <= WIN, "refill cadence exceeds window slack"
+    n_bands = E + K + 2
+    n_steps = (n_bands - 2 + 3) // 4
+
+    fE = n_events.astype(jnp.float32)
+    fK = n_kmers.astype(jnp.float32)
+    p_stay = 1.0 - (1.0 / (fE / fK + 1.0))
+    lp_stay = jnp.log(p_stay).astype(jnp.float32) + np.float32(lp_const)
+    lp_step = (jnp.log1p(-(jnp.float32(epsilon_skip) + p_stay))
+               .astype(jnp.float32) + np.float32(lp_const))
+    lp_skip = float(np.log(epsilon_skip))
+    lp_trim = float(np.log(p_trim))
+    h_c = float(-0.5 * inv_sigma * inv_sigma)
+
+    def _round_up(v, m):
+        return ((v + m - 1) // m) * m
+
+    Kp = _round_up(K + W + 384 + 4 * REFILL_STEPS + 8, 128)
+    # event plane: EPAD_L lanes of left slack keep the reversed refill base
+    # below the Ep-384 clip at small e0 (base = Ep-1-D-EPAD_L-e0)
+    Ep = _round_up(E + 2 * EPAD_L + 128, 128)
+
+    mu_p = jnp.pad(mu, ((0, 0), (W, Kp - K - W)), constant_values=np.inf)
+    ev_p = jnp.pad(scaled_events, ((0, 0), (EPAD_L, Ep - E - EPAD_L)))
+    evr_p = ev_p[:, ::-1]  # reversed once, outside the kernel
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mu plane
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # reversed events
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # per-read vectors (B, 4)
+        ],
+        out_specs=(
+            pl.BlockSpec((FLUSH, B, W), lambda i, *_: (i // FLUSH, 0, 0),
+                         memory_space=pltpu.VMEM),   # trace
+            pl.BlockSpec((FLUSH, 1, B), lambda i, *_: (i // FLUSH, 0, 0),
+                         memory_space=pltpu.VMEM),   # rights
+            pl.BlockSpec((1, B), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),   # best_score
+            pl.BlockSpec((1, B), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),   # best_event
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, W), jnp.float32),        # prev1
+            pltpu.VMEM((B, W), jnp.float32),        # prev2
+            pltpu.VMEM((B, WIN), jnp.float32),      # win_mu
+            pltpu.VMEM((B, WIN), jnp.float32),      # win_ev
+            pltpu.VMEM((B, 1), jnp.int32),          # e0v
+            pltpu.VMEM((B, 1), jnp.int32),          # k0v
+            pltpu.VMEM((B, 1), jnp.int32),          # right_prev
+            pltpu.VMEM((B, 1), jnp.float32),        # best_s
+            pltpu.VMEM((B, 1), jnp.int32),          # best_e
+        ],
+    )
+    kernel = functools.partial(_kernel_lean, B=B, W=W, lp_skip=lp_skip,
+                               lp_trim=lp_trim, h_c=h_c, Kp=Kp, Ep=Ep,
+                               n_steps=n_steps)
+    readvec = jnp.stack(
+        [lp_stay, lp_step, n_events.astype(jnp.float32),
+         n_kmers.astype(jnp.float32)], axis=1)              # (B, 4) f32
+    trace, rights, best_score, best_event = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((_round_up(n_steps, FLUSH), B, W),
+                                 jnp.uint8),
+            jax.ShapeDtypeStruct((_round_up(n_steps, FLUSH), 1, B),
+                                 jnp.uint8),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ),
+    )(mu_p, evr_p, readvec)
+    return (trace[:n_steps, :B0, :], rights[:n_steps, 0, :B0],
+            best_event[0, :B0], best_score[0, :B0])
+
+
+def _lean_mu_from_codes(codes, model_table):
+    from .seqcodes import ranks_from_codes
+    ranks = ranks_from_codes(codes)   # always >= 0 (defaulting map)
+    return model_table[ranks, 0].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "inv_sigma", "lp_const", "bandwidth", "epsilon_skip", "p_trim"))
+def banded_fill_pallas_lean_from_codes_jit(scaled_events, codes, model_table,
+                                           n_events, n_kmers, *,
+                                           inv_sigma, lp_const,
+                                           bandwidth=100, epsilon_skip=1e-30,
+                                           p_trim=0.01):
+    """Upload-lean static-stdv fill: u8 base codes + the resident pore table
+    on device; inv_sigma/lp_const are host-known scalars of the static-stdv
+    model (all table rows share one stdv)."""
+    mu = _lean_mu_from_codes(codes, model_table)
+    return banded_fill_pallas_lean(
+        scaled_events.astype(jnp.float32), mu, n_events, n_kmers,
+        inv_sigma=inv_sigma, lp_const=lp_const, bandwidth=bandwidth,
+        epsilon_skip=epsilon_skip, p_trim=p_trim)
+
+
+@functools.lru_cache(maxsize=None)
+def _lean_codes_fill_sharded_fn(mesh, inv_sigma, lp_const, bandwidth,
+                                epsilon_skip, p_trim):
+    from jax.sharding import PartitionSpec as P
+
+    def inner(scaled_events, codes, model_table, n_events, n_kmers):
+        mu = _lean_mu_from_codes(codes, model_table)
+        return banded_fill_pallas_lean(
+            scaled_events.astype(jnp.float32), mu, n_events, n_kmers,
+            inv_sigma=inv_sigma, lp_const=lp_const, bandwidth=bandwidth,
+            epsilon_skip=epsilon_skip, p_trim=p_trim)
+
+    row2 = P("data", None)
+    sm = jax.shard_map(
+        inner, mesh=mesh, check_vma=False,
+        in_specs=(row2, row2, P(), P("data"), P("data")),
+        out_specs=(P(None, "data", None), P(None, "data"), P("data"),
+                   P("data")))
+    return jax.jit(sm)
+
+
+def banded_fill_pallas_lean_from_codes_sharded(mesh, scaled_events, codes,
+                                               model_table, n_events,
+                                               n_kmers, *, inv_sigma,
+                                               lp_const, bandwidth=100,
+                                               epsilon_skip=1e-30,
+                                               p_trim=0.01):
+    """Mesh-parallel static-stdv fill: per-device Pallas via shard_map (see
+    banded_fill_pallas_from_codes_sharded)."""
+    return _lean_codes_fill_sharded_fn(
+        mesh, inv_sigma, lp_const, bandwidth, epsilon_skip, p_trim)(
+        scaled_events, codes, model_table, n_events, n_kmers)
 
 
 @functools.partial(jax.jit, static_argnames=("bandwidth", "epsilon_skip",

@@ -135,18 +135,30 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
     def _pad8(B):
         return max(8, -(-B // 8) * 8)
 
+    # static-stdv model => the lean single-mu-plane Pallas kernel applies
+    # (the shipping case: banded scoring uses the ONT table with stdv forced
+    # to 0.14, data_IO.cpp:173); per-kmer stdv tables take the general
+    # 3-plane kernel
+    _sig = models.pore_model[:, 1]
+    _static_stdv = bool(np.all(_sig == _sig[0]))
+    _lean_scalars = None
+    if _static_stdv:
+        _s0 = float(_sig[0])
+        _lean_scalars = (1.0 / _s0,
+                         float(np.log(0.3989422804014327) - np.log(_s0)))
+
     def _pallas_fill_batch(E, K):
         """Largest fill batch (multiple of 8, <= MAX_FILL_B) whose
-        VMEM-resident inputs (3 coefficient planes + events, all f32 after
-        on-kernel expansion, plus window scratch) fit the ~11 MB budget;
-        0 if even the 8-row floor does not fit.  NB the fill cost is
-        per-band vector-op bound and scales ~linearly with B above 16
-        (measured r3: B=32 -> 182 ms vs B=16 -> 100 ms), so batches beyond
-        16 do NOT improve per-read fill time — the MAX_FILL_B knob exists
-        for experimentation, not tuning upward."""
+        VMEM-resident inputs fit the ~11 MB budget; 0 if even the 8-row
+        floor does not fit.  The lean static-stdv kernel holds 2 f32 planes
+        (mu + events); the general kernel holds 4 (3 coefficients + events),
+        so the lean path doubles the batch cap at long read lengths (B=16
+        to ~47 kb, B=8 to ~163 kb before the XLA-scan spill)."""
+        planes_k, planes_e = (1, 1) if _static_stdv else (3, 1)
         B = MAX_FILL_B
         while B >= 8:
-            if 4 * (3 * B * (K + 700) + B * (E + 700)) <= 11_000_000:
+            if 4 * B * (planes_k * (K + 700)
+                        + planes_e * (E + 700)) <= 11_000_000:
                 return B
             B -= 8
         return 0
@@ -178,7 +190,8 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
     # bookkeeping, so compile size (and remote-compile time) grows with B.
     # For long reads the cap shrinks (min 8, the sublane batch floor) so the
     # bucket still fits the VMEM budget and takes the fast kernel — at B=8
-    # that covers reads to ~85 kb before the XLA-scan fallback kicks in.
+    # the lean kernel covers reads to ~163 kb (general: ~85 kb) before the
+    # XLA-scan fallback kicks in.
     import os as _os
     _raw_cap = int(_os.environ.get("DNASCENT_MAX_FILL_B", "16"))
     # normalise: the Pallas batch logic needs a multiple of 8 with an 8-row
@@ -195,8 +208,9 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
         if (jax.default_backend() != "cpu" and not _SPILL_NOTED
                 and _pallas_fill_batch(E, K) == 0):
             # explicit ultra-long-read spill path (SURVEY §7.3 item 3):
-            # past ~85 kb the Pallas fill's VMEM-resident inputs no longer
-            # fit, so these reads take the HBM-resident XLA scan fill
+            # past ~163 kb (lean kernel; ~85 kb general) the Pallas fill's
+            # VMEM-resident inputs no longer fit, so these reads take the
+            # HBM-resident XLA scan fill
             import sys as _sys
             print(f"note: reads with ~{E} events exceed the Pallas banded "
                   "fill's VMEM budget; using the XLA scan fill for them "
@@ -237,9 +251,7 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             # bytes over the tunnel; ranks are rebuilt on device and
             # N-containing kmers default to rank 0 exactly like the host's
             # where(rank < 0, 0, rank) (data_IO.cpp:131)
-            from ..ops.banded_pallas import (
-                banded_fill_pallas_from_codes_jit,
-                banded_fill_pallas_from_codes_sharded)
+            from ..ops import banded_pallas as _bp
             from ..utils.seqtools import encode_bases
             codes = np.zeros((B, K + k - 1), dtype=np.uint8)
             for b, p in enumerate(group):
@@ -248,23 +260,32 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             scaled_dev = compute.put_rows(scaled.astype(np.float16))
             for p in group:
                 p.events_dev = scaled_dev
+            fill_kw = dict(bandwidth=bw,
+                           epsilon_skip=cfg.banded.epsilon_skip,
+                           p_trim=cfg.banded.p_trim)
+            if _lean_scalars is not None:
+                # static-stdv: single-mu-plane kernel (~10% faster, half
+                # the VMEM input footprint)
+                fill_kw.update(inv_sigma=_lean_scalars[0],
+                               lp_const=_lean_scalars[1])
+                fill_jit = _bp.banded_fill_pallas_lean_from_codes_jit
+                fill_sharded = _bp.banded_fill_pallas_lean_from_codes_sharded
+            else:
+                fill_jit = _bp.banded_fill_pallas_from_codes_jit
+                fill_sharded = _bp.banded_fill_pallas_from_codes_sharded
             if mesh is not None:
                 # shard_map: each device runs the Pallas kernel on its row
                 # shard (top r3 verdict item — mesh runs previously forfeited
                 # the Pallas fill)
-                tp, rp, best_e, _ = banded_fill_pallas_from_codes_sharded(
+                tp, rp, best_e, _ = fill_sharded(
                     mesh, scaled_dev, compute.put_rows(codes),
                     _device_model_table(models), compute.put_rows(n_ev),
-                    compute.put_rows(n_km), bandwidth=bw,
-                    epsilon_skip=cfg.banded.epsilon_skip,
-                    p_trim=cfg.banded.p_trim)
+                    compute.put_rows(n_km), **fill_kw)
             else:
-                tp, rp, best_e, _ = banded_fill_pallas_from_codes_jit(
+                tp, rp, best_e, _ = fill_jit(
                     scaled_dev, compute.put_rows(codes),
                     _device_model_table(models), compute.put_rows(n_ev),
-                    compute.put_rows(n_km), bandwidth=bw,
-                    epsilon_skip=cfg.banded.epsilon_skip,
-                    p_trim=cfg.banded.p_trim)
+                    compute.put_rows(n_km), **fill_kw)
         else:
             ranks = np.full((B, K), -1, dtype=np.int32)
             for b, p in enumerate(group):

@@ -4,6 +4,12 @@ kernels at bench shapes (tunnel drift makes cross-process timings
 incomparable; these share one process and interleave nothing).
 
 Usage: python scripts/microbench_device.py [reps]
+
+NB (r4): sync on the SMALLEST output leaf.  The r3 version synced on the
+first leaf — for the fill that is the ~10 MB trace tensor, whose download
+over the ~10-30 MB/s tunnel dominated the figure (fill "~100 ms" was really
+~15 ms device + ~85 ms of amortised trace download).  Device outputs that
+stay device-resident in the pipeline must not be charged to the kernel.
 """
 
 import sys
@@ -24,17 +30,19 @@ from dnascent_tpu.ops import banded, viterbi as vit
 from dnascent_tpu.ops.banded_pallas import banded_fill_pallas_from_codes_jit
 from dnascent_tpu.pipeline.eventalign import _device_model_table
 
-REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 cfg = DNA_R10
 models = synthetic_model_set(cfg)
 rng = np.random.default_rng(0)
 
 
 def _sync(out):
-    # force a real sync: download one element (block_until_ready can be a
-    # no-op through the axon plugin)
+    # force a real sync: download one element of the SMALLEST leaf
+    # (block_until_ready can be a no-op through the axon plugin, and big
+    # leaves charge their tunnel download to the kernel being timed)
     leaves = jax.tree_util.tree_leaves(out)
-    return np.asarray(leaves[0]).ravel()[:1]
+    smallest = min(leaves, key=lambda a: int(np.prod(a.shape)) * a.dtype.itemsize)
+    return np.asarray(smallest).ravel()[:1]
 
 
 def bench(tag, fn, *args, **kw):
@@ -62,6 +70,15 @@ fill = lambda: banded_fill_pallas_from_codes_jit(
     d_ev, d_codes, tbl, d_nev, d_nkm, bandwidth=cfg.banded.bandwidth,
     epsilon_skip=cfg.banded.epsilon_skip, p_trim=cfg.banded.p_trim)
 bench(f"pallas fill (B={B}, E={E}, K={K})", fill)
+
+from dnascent_tpu.ops.banded_pallas import banded_fill_pallas_lean_from_codes_jit
+_sig0 = float(models.pore_model[0, 1])
+fill_lean = lambda: banded_fill_pallas_lean_from_codes_jit(
+    d_ev, d_codes, tbl, d_nev, d_nkm, inv_sigma=1.0 / _sig0,
+    lp_const=float(np.log(0.3989422804014327) - np.log(_sig0)),
+    bandwidth=cfg.banded.bandwidth, epsilon_skip=cfg.banded.epsilon_skip,
+    p_trim=cfg.banded.p_trim)
+bench(f"lean pallas fill (B={B}, E={E}, K={K})", fill_lean)
 
 tp, rp, best_e, _ = fill()
 jax.block_until_ready((tp, rp, best_e))

@@ -92,3 +92,74 @@ def test_pallas_from_ranks_matches_plain(models, rng):
     mismatch = (np.asarray(a[0]) != np.asarray(b[0])).mean()
     assert mismatch < 2e-3, mismatch
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_pallas_lean_matches_scan_kernel(models, rng):
+    """Static-stdv lean kernel (single mu plane, reversed event window, no
+    reversal matmul) vs the XLA scan fill: identical band decisions and
+    start cells, rare rounding-tie trace flips only (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from dnascent_tpu.ops import banded_pallas
+
+    scaled, mu, ivs, lpc, n_ev, n_km = _inputs(models, rng)
+    sig = models.pore_model[:, 1]
+    assert np.all(sig == sig[0]), "fixture model must be static-stdv"
+    inv_sigma = 1.0 / float(sig[0])
+    lp_const = float(np.log(0.3989422804014327) - np.log(float(sig[0])))
+    mu_lean = np.where(np.isfinite(lpc), mu, np.inf).astype(np.float32)
+
+    args = [jnp.asarray(x) for x in (scaled, mu, ivs, lpc, n_ev, n_km)]
+    tp_s, rp_s, be_s, bs_s = banded.banded_fill_jit(*args)
+    with pltpu.force_tpu_interpret_mode():
+        tp_p, rp_p, be_p, bs_p = banded_pallas.banded_fill_pallas_lean(
+            jnp.asarray(scaled), jnp.asarray(mu_lean), jnp.asarray(n_ev),
+            jnp.asarray(n_km), inv_sigma=inv_sigma, lp_const=lp_const)
+    tp_s, rp_s = np.asarray(tp_s), np.asarray(rp_s)
+    tp_p, rp_p = np.asarray(tp_p), np.asarray(rp_p)
+    assert tp_p.shape == tp_s.shape
+    np.testing.assert_array_equal(rp_p, rp_s)
+    for b in range(scaled.shape[0]):
+        nb = int(n_ev[b]) + int(n_km[b]) + 2
+        s = (nb - 2 + 3) // 4
+        mismatch = (tp_p[:s, b] != tp_s[:s, b]).mean()
+        assert mismatch < 2e-3, f"row {b}: {mismatch}"
+    np.testing.assert_array_equal(np.asarray(be_p), np.asarray(be_s))
+    np.testing.assert_allclose(np.asarray(bs_p), np.asarray(bs_s),
+                               rtol=0, atol=0.05)
+
+
+def test_pallas_lean_from_codes_matches_lean(models, rng):
+    """The u8-codes wrapper of the lean kernel must equal the plain lean
+    kernel fed the host-gathered mu plane (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from dnascent_tpu.ops import banded_pallas
+    from dnascent_tpu.testing.simulate import simulate_read
+    from dnascent_tpu.utils.seqtools import encode_bases, kmer_ranks
+
+    lens = (700, 900, 800)
+    scaled, mu, ivs, lpc, n_ev, n_km = _inputs(models, rng, lens=lens)
+    sig = models.pore_model[:, 1]
+    inv_sigma = 1.0 / float(sig[0])
+    lp_const = float(np.log(0.3989422804014327) - np.log(float(sig[0])))
+    K = mu.shape[1]
+    codes = np.zeros((3, K + 8), np.uint8)
+    muL = np.zeros((3, K), np.float32)
+    for i, ln in enumerate(lens):
+        sim = simulate_read(models.pore_model, DNA_R10, length=ln, seed=40 + i)
+        bc = encode_bases(sim.sequence).astype(np.uint8)
+        codes[i, : bc.shape[0]] = bc
+        r = kmer_ranks(sim.sequence, 9)
+        r = np.where(r < 0, 0, r)
+        muL[i, : r.shape[0]] = models.pore_model[r, 0]
+    table = jnp.asarray(models.pore_model)
+    with pltpu.force_tpu_interpret_mode():
+        a = banded_pallas.banded_fill_pallas_lean(
+            jnp.asarray(scaled), jnp.asarray(muL), jnp.asarray(n_ev),
+            jnp.asarray(n_km), inv_sigma=inv_sigma, lp_const=lp_const)
+        b = banded_pallas.banded_fill_pallas_lean_from_codes_jit(
+            jnp.asarray(scaled), jnp.asarray(codes), table,
+            jnp.asarray(n_ev), jnp.asarray(n_km), inv_sigma=inv_sigma,
+            lp_const=lp_const)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
