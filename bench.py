@@ -243,6 +243,41 @@ def measure_baseline(n_reads: int = 8) -> dict:
     return result
 
 
+_CACHE_LONG = os.path.expanduser("~/.cache/dnascent_tpu_bench_long.json")
+
+
+def measure_baseline_long(n_reads: int = 2) -> dict:
+    """The 50 kb CPU reference point, measured at 50 kb (VERDICT r3 weak #3:
+    the secondary metric used to divide by the 10 kb baseline).  Fewer reads
+    and CNN reps — a 50 kb f32 CNN forward costs ~14 s on one core."""
+    key = f"v1:{socket.gethostname()}:{os.cpu_count()}:{LONG_LEN}"
+    try:
+        cache = json.load(open(_CACHE_LONG))
+        if cache.get("key") == key:
+            return cache
+    except (OSError, ValueError):
+        pass
+    ctx = mp.get_context("spawn")
+    args = [(300 + i, LONG_LEN) for i in range(n_reads)]
+    with ctx.Pool(1) as pool:
+        native = pool.map(_native_read_seconds, args)
+    with ctx.Pool(1) as pool:
+        [cnn_s] = pool.map(_cnn_cpu_read_seconds, [(LONG_LEN, 1)])
+    hot_s = sum(t for t, _ in native) / len(native)
+    per_read = hot_s + cnn_s
+    result = {
+        "key": key,
+        "cpp_hotpath_per_read_s": round(hot_s, 4),
+        "cnn_f32_1core_per_read_s": round(cnn_s, 4),
+        "baseline_reads_per_s": round(BASELINE_THREADS / per_read, 3),
+    }
+    try:
+        json.dump(result, open(_CACHE_LONG, "w"))
+    except OSError:
+        pass
+    return result
+
+
 # ---------------------------------------------------------------------------
 # Device benchmark
 # ---------------------------------------------------------------------------
@@ -308,6 +343,16 @@ def main():
 
     records = list(SimulatedSource(models, cfg, n_reads=N_READS,
                                    length=READ_LEN, seed=1234))
+    # field reality: ~5-10% of reads fail detect QC (docs/source/detect.rst:35)
+    # and their prep cost is paid for no output.  Corrupt ~8% of the bench
+    # set's signals (pure noise -> avg-log-emission QC failure) so the
+    # failure path is priced into the headline (VERDICT r3 weak #5).
+    import numpy as _np
+    _rng = _np.random.default_rng(99)
+    for i, r in enumerate(records):
+        if i % 13 == 5:
+            r.raw = _rng.normal(90.0, 30.0, size=r.raw.shape).astype(
+                r.raw.dtype)
     # small batches pipelined deep: the per-batch chain is transfer-bound on
     # the tunnel, so finer batches overlap uploads/downloads/host numpy of
     # neighbouring batches better than big ones (measured optimum 16/6)
@@ -360,6 +405,11 @@ def main():
         "metric": "detect_reads_per_s",
         "value": round(reads_per_s, 3),
         "unit": f"reads/s ({READ_LEN} bp reads, 1 chip)",
+        # which window geometry the headline measures; the product-level
+        # fast-vs-strict probability gap is bounded in
+        # test_detect_fast_vs_strict_probabilities (mean |dp| ~2e-4, <0.5%
+        # of T positions move by >0.01)
+        "eventalign_mode": "fast",
         "vs_baseline": round(reads_per_s / base_rps, 3),
         "baseline_reads_per_s": base_rps,
         "baseline_kind": baseline["kind"],

@@ -648,6 +648,62 @@ def banded_fill_pallas_lean_from_codes_jit(scaled_events, codes, model_table,
         epsilon_skip=epsilon_skip, p_trim=p_trim)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "n_codes", "inv_sigma", "lp_const", "bandwidth", "epsilon_skip",
+    "p_trim"))
+def banded_fill_pallas_lean_from_packed_jit(scaled_events, packed, badmap,
+                                            model_table, n_events, n_kmers,
+                                            *, n_codes, inv_sigma, lp_const,
+                                            bandwidth=100,
+                                            epsilon_skip=1e-30,
+                                            p_trim=0.01):
+    """Lean fill fed 2-bit packed base codes + non-ACGT bitmap (4x fewer
+    sequence bytes over the tunnel than the u8 code stream)."""
+    from .seqcodes import codes_from_packed
+    codes = codes_from_packed(packed, badmap, n_codes)
+    mu = _lean_mu_from_codes(codes, model_table)
+    return banded_fill_pallas_lean(
+        scaled_events.astype(jnp.float32), mu, n_events, n_kmers,
+        inv_sigma=inv_sigma, lp_const=lp_const, bandwidth=bandwidth,
+        epsilon_skip=epsilon_skip, p_trim=p_trim)
+
+
+@functools.lru_cache(maxsize=None)
+def _lean_packed_fill_sharded_fn(mesh, n_codes, inv_sigma, lp_const,
+                                 bandwidth, epsilon_skip, p_trim):
+    from jax.sharding import PartitionSpec as P
+
+    def inner(scaled_events, packed, badmap, model_table, n_events, n_kmers):
+        from .seqcodes import codes_from_packed
+        codes = codes_from_packed(packed, badmap, n_codes)
+        mu = _lean_mu_from_codes(codes, model_table)
+        return banded_fill_pallas_lean(
+            scaled_events.astype(jnp.float32), mu, n_events, n_kmers,
+            inv_sigma=inv_sigma, lp_const=lp_const, bandwidth=bandwidth,
+            epsilon_skip=epsilon_skip, p_trim=p_trim)
+
+    row2 = P("data", None)
+    sm = jax.shard_map(
+        inner, mesh=mesh, check_vma=False,
+        in_specs=(row2, row2, row2, P(), P("data"), P("data")),
+        out_specs=(P(None, "data", None), P(None, "data"), P("data"),
+                   P("data")))
+    return jax.jit(sm)
+
+
+def banded_fill_pallas_lean_from_packed_sharded(mesh, scaled_events, packed,
+                                                badmap, model_table,
+                                                n_events, n_kmers, *,
+                                                n_codes, inv_sigma, lp_const,
+                                                bandwidth=100,
+                                                epsilon_skip=1e-30,
+                                                p_trim=0.01):
+    return _lean_packed_fill_sharded_fn(
+        mesh, n_codes, inv_sigma, lp_const, bandwidth, epsilon_skip,
+        p_trim)(scaled_events, packed, badmap, model_table, n_events,
+                n_kmers)
+
+
 @functools.lru_cache(maxsize=None)
 def _lean_codes_fill_sharded_fn(mesh, inv_sigma, lp_const, bandwidth,
                                 epsilon_skip, p_trim):

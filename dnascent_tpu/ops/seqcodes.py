@@ -47,6 +47,44 @@ def flat_ranks_from_codes_jit(codes_flat: jnp.ndarray, k: int = 9):
     return jnp.pad(r, (0, k - 1))
 
 
+def pack_codes_host(codes_u8):
+    """Host-side 2-bit pack of a base-code array (last axis, length must be
+    a multiple of 4): four bases per byte, little-endian within the byte,
+    plus a non-ACGT bitmap (np.packbits big-endian).  Quarters the dominant
+    sequence upload (codes are 2 bits of entropy shipped as 8)."""
+    import numpy as np
+    assert codes_u8.shape[-1] % 4 == 0, codes_u8.shape
+    bad = codes_u8 == 255
+    safe = np.where(bad, 0, codes_u8)
+    packed = (safe[..., 0::4] | (safe[..., 1::4] << 2)
+              | (safe[..., 2::4] << 4) | (safe[..., 3::4] << 6)
+              ).astype(np.uint8)
+    badmap = np.packbits(bad, axis=-1)
+    return packed, badmap
+
+
+def codes_from_packed(packed: jnp.ndarray, badmap: jnp.ndarray,
+                      n: int) -> jnp.ndarray:
+    """Device-side inverse of pack_codes_host -> (..., n) u8 codes with 255
+    at non-ACGT positions."""
+    shifts2 = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+    vals = (packed[..., :, None] >> shifts2) & 3
+    codes = vals.reshape(*packed.shape[:-1], -1)[..., :n]
+    shifts1 = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bad = ((badmap[..., :, None] >> shifts1) & 1)
+    bad = bad.reshape(*badmap.shape[:-1], -1)[..., :n]
+    return jnp.where(bad == 1, jnp.uint8(255), codes.astype(jnp.uint8))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n"))
+def flat_ranks_from_packed_jit(packed: jnp.ndarray, badmap: jnp.ndarray,
+                               n: int, k: int = 9):
+    """flat_ranks_from_codes_jit fed by the 2-bit packed stream."""
+    codes = codes_from_packed(packed, badmap, n)
+    r = ranks_from_codes(codes, k)
+    return jnp.pad(r, (0, k - 1))
+
+
 def core_index_from_ranks(ranks: jnp.ndarray) -> jnp.ndarray:
     """9-mer rank -> CNN core-sequence index (digits 2..6, +1)."""
     return ((ranks >> 4) & 1023) + 1

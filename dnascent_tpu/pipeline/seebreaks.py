@@ -179,6 +179,55 @@ def observation_fast(runoffs: np.ndarray, iterations, seed):
     return runoffs[idx].mean(axis=1)
 
 
+def _bootstrap_device_jit():
+    """Device bootstrap (SURVEY §5 long-context row / §7.1 item 5: the
+    5000×n_forks draw grid is one ``jax.random`` batch).  Statistics match
+    the numpy fast path (same math, different RNG stream); parity mode
+    stays on the native libstdc++ RNG."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("iterations", "n_forks",
+                                                 "n_obs", "seed",
+                                                 "fs_boundary",
+                                                 "end_tolerance"))
+    def f(v5, v3, fork_len, runoffs, *, iterations, n_forks, n_obs, seed,
+          fs_boundary, end_tolerance):
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        ri = jax.random.randint(k1, (iterations, n_forks), 0, v5.shape[0])
+        li = jax.random.randint(k2, (iterations, n_forks), 0,
+                                fork_len.shape[0])
+        r5 = v5[ri]
+        r3 = v3[ri]
+        lo = r5 + fs_boundary
+        hi = r3 - fs_boundary
+        u = jax.random.uniform(k3, (iterations, n_forks))
+        start = lo + (u * (hi - lo + 1).astype(jnp.float32)).astype(jnp.int32)
+        runoff = (r3 - end_tolerance - start) < fork_len[li]
+        sim = runoff.mean(axis=1, dtype=jnp.float32)
+        oi = jax.random.randint(k4, (iterations, n_obs), 0, n_obs)
+        obs = runoffs[oi].mean(axis=1, dtype=jnp.float32)
+        return sim, obs
+
+    return f
+
+
+def bootstrap_fast_device(v5, v3, fork_len, runoffs, iterations, seed,
+                          fs_boundary, end_tolerance):
+    """Both bootstrap grids (null simulation + observed resampling) in one
+    device dispatch; returns numpy (sim, obs)."""
+    import jax.numpy as jnp
+    f = _bootstrap_device_jit()
+    sim, obs = f(jnp.asarray(v5), jnp.asarray(v3), jnp.asarray(fork_len),
+                 jnp.asarray(runoffs), iterations=int(iterations),
+                 n_forks=int(runoffs.shape[0]), n_obs=int(runoffs.shape[0]),
+                 seed=int(seed), fs_boundary=int(fs_boundary),
+                 end_tolerance=int(end_tolerance))
+    return np.asarray(sim), np.asarray(obs)
+
+
 def run_seebreaks(left_bed: Optional[str], right_bed: Optional[str],
                   analogue_bed: str, detect_reads_5p: np.ndarray,
                   detect_reads_3p_by_minlen, params: SeeBreaksParams,
@@ -256,11 +305,23 @@ def run_seebreaks(left_bed: Optional[str], right_bed: Optional[str],
                 runoffs.astype(np.uint8), runoffs.shape[0], params.rng_seed,
                 params.bootstrap_iterations, obs)
         else:
-            sim = simulation_fast(v5, v3, track_lengths, runoffs.shape[0],
-                                  params.bootstrap_iterations, params.rng_seed,
-                                  params.forksense_boundary, tol)
-            obs = observation_fast(runoffs, params.bootstrap_iterations,
-                                   params.rng_seed)
+            import jax as _jax
+            if _jax.default_backend() != "cpu":
+                # fast mode on an accelerator: both bootstrap grids as one
+                # jax.random device batch (VERDICT r3 item 10)
+                sim, obs = bootstrap_fast_device(
+                    v5.astype(np.int32), v3.astype(np.int32),
+                    track_lengths.astype(np.int32), runoffs,
+                    params.bootstrap_iterations, params.rng_seed,
+                    params.forksense_boundary, tol)
+            else:
+                sim = simulation_fast(v5, v3, track_lengths,
+                                      runoffs.shape[0],
+                                      params.bootstrap_iterations,
+                                      params.rng_seed,
+                                      params.forksense_boundary, tol)
+                obs = observation_fast(runoffs, params.bootstrap_iterations,
+                                       params.rng_seed)
         sim_all.append(sim)
         obs_all.append(obs)
 

@@ -48,3 +48,40 @@ def test_core_residual_center_from_ranks():
     np.testing.assert_array_equal(
         np.asarray(seqcodes.center_is_t_from_ranks(ranks)),
         win[:, 4] == 1)
+
+
+def test_pack_codes_roundtrip():
+    """2-bit pack + non-ACGT bitmap must reproduce the u8 code stream."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dnascent_tpu.ops.seqcodes import codes_from_packed, pack_codes_host
+
+    rng = np.random.default_rng(3)
+    for shape in [(16,), (3, 64), (2, 4096)]:
+        codes = rng.integers(0, 4, size=shape).astype(np.uint8)
+        bad = rng.random(shape) < 0.05
+        codes[bad] = 255
+        packed, badmap = pack_codes_host(codes)
+        assert packed.shape[-1] == shape[-1] // 4
+        out = np.asarray(codes_from_packed(jnp.asarray(packed),
+                                           jnp.asarray(badmap),
+                                           shape[-1]))
+        np.testing.assert_array_equal(out, codes)
+
+
+def test_flat_ranks_from_packed_matches_codes():
+    import numpy as np
+    import jax.numpy as jnp
+    from dnascent_tpu.ops.seqcodes import (flat_ranks_from_codes_jit,
+                                           flat_ranks_from_packed_jit,
+                                           pack_codes_host)
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, size=1 << 12).astype(np.uint8)
+    codes[rng.random(codes.shape[0]) < 0.02] = 255
+    a = np.asarray(flat_ranks_from_codes_jit(jnp.asarray(codes)))
+    packed, badmap = pack_codes_host(codes)
+    b = np.asarray(flat_ranks_from_packed_jit(jnp.asarray(packed),
+                                              jnp.asarray(badmap),
+                                              codes.shape[0]))
+    np.testing.assert_array_equal(a, b)
