@@ -476,7 +476,13 @@ int64_t decode_moves(const uint8_t* packed, int64_t rows, int64_t B,
         uint8_t byte = packed[r * B + col];
         for (int j = 0; j < 4; ++j) {
             int move = (byte >> (2 * j)) & 3;
-            if (move == MOVE_PAD) goto done;
+            // PAD is a gap, not a terminator: the Pallas chase emits a
+            // band-ordered stream with PADs at bands a read skipped
+            // (diagonal move) or had not reached; skipping preserves the
+            // walk order (bands decrease monotonically), and the scan
+            // chase's tail-only PADs behave identically under a skip
+            if (move == MOVE_PAD) continue;
+            if (e < 0 || k < 0) goto done;
             if (n_pairs < max_pairs) {
                 pairs_out[2 * n_pairs] = e;
                 pairs_out[2 * n_pairs + 1] = k;

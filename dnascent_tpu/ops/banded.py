@@ -341,9 +341,12 @@ def decode_moves_host(packed: np.ndarray, col: int, best_event: int,
     bytes_ = packed[:, col].astype(np.int64)
     moves = np.stack([(bytes_ >> (2 * j)) & 3 for j in range(4)],
                      axis=1).reshape(-1)
-    valid = moves != MOVE_PAD
-    n = int(np.argmax(~valid)) if (~valid).any() else moves.shape[0]
-    moves = moves[:n]
+    # PAD entries are skipped, not treated as terminators: the scan chase
+    # emits them only as a tail, but the Pallas chase emits a band-ordered
+    # stream with PAD gaps at skipped bands (filtering preserves the walk
+    # order in both formats — bands decrease monotonically along the walk)
+    moves = moves[moves != MOVE_PAD]
+    n = moves.shape[0]
     if n == 0:
         return (np.empty((0, 2), np.int64), np.empty(0), np.empty(0, np.int64),
                 float("-inf"), False, 0)

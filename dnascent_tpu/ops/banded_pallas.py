@@ -808,3 +808,170 @@ def banded_fill_pallas_from_codes_sharded(mesh, scaled_events, codes,
     return _codes_fill_sharded_fn(mesh, bandwidth, epsilon_skip, p_trim)(
         scaled_events, codes, model_table, n_events, n_kmers)
 
+
+
+# ---------------------------------------------------------------------------
+# Pallas backtrace chase
+# ---------------------------------------------------------------------------
+
+CH_ROWS = 4  # packed trace rows (16 bands) per grid step
+
+
+def _chase_kernel(trace_ref, rights_ref, init_ref,      # VMEM blocks/inputs
+                  out_ref,                              # output block
+                  st,                                   # scratch (B, 8) i32
+                  *, B: int, W: int, n_blocks: int):
+    """Band-sequenced backtrace walk (replaces the XLA scan chase, which
+    paid per-step dispatch overhead for ~n_bands tiny steps — 53 ms at
+    bench shapes vs ~5 ms here).
+
+    The walk visits strictly decreasing band indices (every move decrements
+    e and/or k), so a single global band countdown processes all reads in
+    lockstep: a read emits its move when the countdown passes its current
+    band (e+k+2) and a PAD code otherwise.  Unlike the scan's walk-ordered
+    stream, the output is *band-ordered* with PAD gaps where a read skipped
+    a band (diagonal move) or had not started yet — the decoders skip PADs,
+    which preserves the move sequence exactly (bands decrease monotonically
+    along the walk).
+
+    Trace blocks stream HIGHEST band first (reversed grid index map); the
+    band-lower-left event index (off = bll - e selects the lane) unwinds
+    incrementally from the rights bits, so no O(n_bands x B) index plane is
+    materialised.  State lives in one (B, 8) i32 scratch: columns e, k,
+    bll, done.
+    """
+    i = pl.program_id(0)
+    offs = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+
+    @pl.when(i == 0)
+    def _init():
+        st[:, 0:1] = init_ref[:, 0:1]   # e = best_event
+        st[:, 1:2] = init_ref[:, 1:2]   # k = n_kmers - 1
+        st[:, 2:3] = init_ref[:, 2:3]   # bll at the top band
+        st[:, 3:4] = init_ref[:, 3:4]   # done
+        st[:, 4:8] = jnp.zeros((B, 4), jnp.int32)
+
+    e = st[:, 0:1]
+    k = st[:, 1:2]
+    bll = st[:, 2:3]
+    done = st[:, 3:4]
+
+    base_sr = (n_blocks - 1 - i) * CH_ROWS
+    for rl in range(CH_ROWS - 1, -1, -1):
+        sr = base_sr + rl
+        trow = trace_ref[rl].astype(jnp.int32)          # (B, W)
+        rrow = rights_ref[rl].astype(jnp.int32)         # (B, 1)
+        acc = jnp.zeros((B, 1), jnp.int32)
+        for j in range(3, -1, -1):
+            band = sr * 4 + j + 2
+            active = (done == 0) & ((e + k + 2) == band)
+            off = jnp.clip(bll - e, 0, W - 1)
+            byte = jnp.sum(jnp.where(offs == off, trow, 0), axis=1,
+                           keepdims=True)
+            code = (byte >> (2 * j)) & 3
+            is_d = active & (code == FROM_D)
+            is_u = active & (code == FROM_U)
+            is_l = active & (code == FROM_L)
+            e = e - jnp.where(is_d | is_u, 1, 0)
+            k = k - jnp.where(is_d | is_l, 1, 0)
+            out_code = jnp.where(active, code, 3)
+            done = jnp.where((e < 0) | (k < 0), 1, done)
+            acc = acc | (out_code << (2 * (3 - j)))
+            rbit = (rrow >> j) & 1
+            bll = bll - (1 - rbit)
+        out_ref[CH_ROWS - 1 - rl] = acc.astype(jnp.uint8)
+
+    st[:, 0:1] = e
+    st[:, 1:2] = k
+    st[:, 2:3] = bll
+    st[:, 3:4] = done
+
+
+def backtrace_moves_pallas(trace_packed: jnp.ndarray,   # (S, B, W) u8
+                           rights_packed: jnp.ndarray,  # (S, B) u8
+                           best_event: jnp.ndarray,     # (B,) i32
+                           n_kmers: jnp.ndarray,        # (B,) i32
+                           bandwidth: int = 100):
+    """Pallas drop-in for ops.banded.backtrace_moves_device.  Output is the
+    band-ordered packed move stream (PAD-gapped; decoders skip PADs), shape
+    (ceil(S/CH_ROWS)*CH_ROWS, B) u8 — same consumers as the scan version."""
+    S, B0, W = trace_packed.shape
+    half = bandwidth // 2
+    Bpad = (-B0) % 8
+    if Bpad:
+        trace_packed = jnp.pad(trace_packed, ((0, 0), (0, Bpad), (0, 0)))
+        rights_packed = jnp.pad(rights_packed, ((0, 0), (0, Bpad)))
+        best_event = jnp.pad(best_event, (0, Bpad), constant_values=-1)
+        n_kmers = jnp.pad(n_kmers, (0, Bpad))
+    B = B0 + Bpad
+    Sp = -(-S // CH_ROWS) * CH_ROWS
+    if Sp != S:
+        # padded high bands: no read starts there (start band <= n_bands-1
+        # <= 4S+1); zero rights rows count as downs in the bll unwind and
+        # in bll_top below, so the two stay consistent
+        trace_packed = jnp.pad(trace_packed, ((0, Sp - S), (0, 0), (0, 0)))
+        rights_packed = jnp.pad(rights_packed, ((0, Sp - S), (0, 0)))
+    n_blocks = Sp // CH_ROWS
+
+    rights_i = rights_packed.astype(jnp.int32)
+    n_rights = sum(((rights_i >> j) & 1) for j in range(4)).sum(axis=0)
+    bll_top = half + (4 * Sp - n_rights).astype(jnp.int32)   # (B,)
+
+    e0 = best_event.astype(jnp.int32)
+    k0 = n_kmers.astype(jnp.int32) - 1
+    done0 = ((e0 < 0) | (k0 < 0)).astype(jnp.int32)
+    init = jnp.stack([e0, k0, bll_top, done0] + [jnp.zeros_like(e0)] * 4,
+                     axis=1)                                  # (B, 8) i32
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((CH_ROWS, B, W),
+                         lambda i, *_: (n_blocks - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH_ROWS, B, 1),
+                         lambda i, *_: (n_blocks - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # init (B, 8)
+        ],
+        out_specs=pl.BlockSpec((CH_ROWS, B, 1), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, 8), jnp.int32)],
+    )
+    kernel = functools.partial(_chase_kernel, B=B, W=W, n_blocks=n_blocks)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Sp, B, 1), jnp.uint8),
+    )(trace_packed, rights_packed.reshape(Sp, B, 1), init)
+    return out[:, :B0, 0]                                    # (Sp, B0) u8
+
+
+@functools.partial(jax.jit, static_argnames=("bandwidth",))
+def backtrace_moves_pallas_jit(trace_packed, rights_packed, best_event,
+                               n_kmers, bandwidth=100):
+    return backtrace_moves_pallas(trace_packed, rights_packed, best_event,
+                                  n_kmers, bandwidth)
+
+
+@functools.lru_cache(maxsize=None)
+def _chase_sharded_fn(mesh, bandwidth):
+    from jax.sharding import PartitionSpec as P
+
+    def inner(tp, rp, best_event, n_kmers):
+        return backtrace_moves_pallas(tp, rp, best_event, n_kmers, bandwidth)
+
+    sm = jax.shard_map(
+        inner, mesh=mesh, check_vma=False,
+        in_specs=(P(None, "data", None), P(None, "data"), P("data"),
+                  P("data")),
+        out_specs=P(None, "data"))
+    return jax.jit(sm)
+
+
+def backtrace_moves_pallas_sharded(mesh, trace_packed, rights_packed,
+                                   best_event, n_kmers, bandwidth=100):
+    """Mesh-parallel Pallas chase (per-device rows via shard_map)."""
+    return _chase_sharded_fn(mesh, bandwidth)(
+        trace_packed, rights_packed, best_event, n_kmers)

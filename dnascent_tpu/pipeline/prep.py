@@ -173,6 +173,7 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
     cleaned_per_read: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     import jax
+    from ..ops import banded_pallas as _bp
 
     def use_pallas_fill(B, E, K):
         """Pallas on accelerators when the PER-DEVICE batch fits VMEM; XLA
@@ -251,7 +252,6 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             # bytes over the tunnel; ranks are rebuilt on device and
             # N-containing kmers default to rank 0 exactly like the host's
             # where(rank < 0, 0, rank) (data_IO.cpp:131)
-            from ..ops import banded_pallas as _bp
             from ..utils.seqtools import encode_bases
             codes = np.zeros((B, K + k - 1), dtype=np.uint8)
             for b, p in enumerate(group):
@@ -333,12 +333,14 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             # start their D2H copies now so every group's download overlaps
             # the others' fills (sequential blocking downloads each pay the
             # tunnel's ~35 ms round trip)
+            # band-sequenced Pallas chase: 8.6 ms vs the XLA scan's 53 ms
+            # at bench shapes (identical PAD-filtered move streams)
             if mesh is not None:
-                packed_dev = banded.backtrace_moves_sharded(
+                packed_dev = _bp.backtrace_moves_pallas_sharded(
                     mesh, tp, rp, jnp.asarray(best_e),
                     compute.put_rows(n_km), bandwidth=bw)
             else:
-                packed_dev = banded.backtrace_moves_device(
+                packed_dev = _bp.backtrace_moves_pallas_jit(
                     tp, rp, jnp.asarray(best_e), compute.put_rows(n_km),
                     bandwidth=bw)
             _enqueue_d2h(packed_dev, best_e)

@@ -163,3 +163,42 @@ def test_pallas_lean_from_codes_matches_lean(models, rng):
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
     np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+
+
+def test_pallas_chase_matches_scan_chase(models, rng):
+    """The band-ordered Pallas chase must yield the identical move walk as
+    the scan chase after PAD filtering, and identical decoded outputs."""
+    from jax.experimental.pallas import tpu as pltpu
+    from dnascent_tpu.ops import banded_pallas
+
+    scaled, mu, ivs, lpc, n_ev, n_km = _inputs(models, rng)
+    args = [jnp.asarray(x) for x in (scaled, mu, ivs, lpc, n_ev, n_km)]
+    tp, rp, be, _bs = banded.banded_fill_jit(*args)
+    packed_scan = np.asarray(banded.backtrace_moves_device(
+        tp, rp, jnp.asarray(be), jnp.asarray(n_km)))
+    with pltpu.force_tpu_interpret_mode():
+        packed_pls = np.asarray(banded_pallas.backtrace_moves_pallas(
+            tp, rp, jnp.asarray(be), jnp.asarray(n_km)))
+
+    def unpack(packed, col):
+        by = packed[:, col].astype(np.int64)
+        mv = np.stack([(by >> (2 * j)) & 3 for j in range(4)],
+                      axis=1).reshape(-1)
+        return mv[mv != 3]
+
+    for b in range(scaled.shape[0]):
+        np.testing.assert_array_equal(unpack(packed_pls, b),
+                                      unpack(packed_scan, b))
+        # decoded outputs (pairs + QC stats + cleaned signals) also equal
+        q2r = np.arange(int(n_km[b]), dtype=np.int64)
+        out_a = banded.decode_moves_host(
+            packed_scan, b, int(be[b]), int(n_km[b]), scaled[b],
+            scaled[b], mu[b], ivs[b], lpc[b], q2r,
+            np.zeros(int(n_km[b]), np.int64))
+        out_b = banded.decode_moves_host(
+            packed_pls, b, int(be[b]), int(n_km[b]), scaled[b],
+            scaled[b], mu[b], ivs[b], lpc[b], q2r,
+            np.zeros(int(n_km[b]), np.int64))
+        np.testing.assert_array_equal(out_a[0], out_b[0])
+        assert out_a[3] == out_b[3] and out_a[4] == out_b[4] \
+            and out_a[5] == out_b[5]
