@@ -389,17 +389,20 @@ def main():
 
     # secondary point: long reads (ultra-long handling, SURVEY §7.3 item 3)
     long_rps = None
+    baseline_long = None
     if N_LONG:
         _phase(f"long-read point: {N_LONG} x {LONG_LEN} bp (new buckets; "
                "compiles on a cold cache)")
         long_records = list(SimulatedSource(models, cfg, n_reads=N_LONG,
                                             length=LONG_LEN, seed=77))
-        lb = max(1, min(8, N_LONG))
+        lb = max(1, min(16, N_LONG))
         _run(long_records, models, model, params, cfg, lb, depth)  # warmup
         stats = DetectStats()
         t0 = time.perf_counter()
         _run(long_records, models, model, params, cfg, lb, depth, stats)
         long_rps = stats.processed / (time.perf_counter() - t0)
+        _phase("measuring 50 kb CPU baseline (cached per host)")
+        baseline_long = measure_baseline_long()
 
     out = {
         "metric": "detect_reads_per_s",
@@ -423,6 +426,13 @@ def main():
                         round(v / 1e6, 2) for k, v in transfer.items()},
         "secondary": ({"read_len": LONG_LEN, "n_reads": N_LONG,
                        "reads_per_s": round(long_rps, 3),
+                       # fair denominator: the CPU baseline measured at the
+                       # SAME read length (VERDICT r3 weak #3)
+                       "vs_baseline": round(
+                           long_rps / baseline_long["baseline_reads_per_s"],
+                           3),
+                       "baseline_reads_per_s":
+                           baseline_long["baseline_reads_per_s"],
                        "vs_baseline_at_10kb": round(long_rps / base_rps, 3)}
                       if long_rps is not None else None),
     }
