@@ -53,6 +53,7 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
                            events_per_base: jnp.ndarray,  # (W,) f32 (per read)
                            hmm_probs: tuple[float, float, float, float, float, float],
                            use_pallas: bool = False,
+                           bt_len: int | None = None,
                            ):
     """Returns (path_code (W, L) uint8, path_len (W,), score (W,)) with
     L = T + N + 2.  Each byte is ``kind | (pos_delta << 2)`` where pos_delta
@@ -95,7 +96,8 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
             obs_T, muT, invT, lpcT, n_obs.astype(jnp.int32),
             n_states.astype(jnp.int32), iM2M, eM2M, eOrIM2M, hmm_logs)
         return _terminate_and_backtrace(codes, I_fin, M_fin, D_fin, n_obs,
-                                        n_states, eM2MorD, eI2M, W, T, N)
+                                        n_states, eM2MorD, eI2M, W, T, N,
+                                        bt_len)
 
     sidx = jnp.arange(N, dtype=jnp.int32)[:, None]       # (N, 1)
     in_range = sidx < n_states[None, :]                  # (N, W)
@@ -164,11 +166,12 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
         unroll=_FILL_UNROLL)
     # codes: (T, N, W) uint8
     return _terminate_and_backtrace(codes, I_fin, M_fin, D_fin, n_obs,
-                                    n_states, eM2MorD, eI2M, W, T, N)
+                                    n_states, eM2MorD, eI2M, W, T, N,
+                                    bt_len)
 
 
 def _terminate_and_backtrace(codes, I_fin, M_fin, D_fin, n_obs, n_states,
-                             eM2MorD, eI2M, W, T, N):
+                             eM2MorD, eI2M, W, T, N, bt_len=None):
     # --- termination (alignment.cpp:445-476) ---
     last = jnp.clip(n_states - 1, 0, N - 1)[None, :]
     Dl = jnp.take_along_axis(D_fin, last, axis=0)[0]
@@ -179,7 +182,12 @@ def _terminate_and_backtrace(codes, I_fin, M_fin, D_fin, n_obs, n_states,
     kind0 = jnp.argmax(cand, axis=0).astype(jnp.int32)   # 0=D,1=M,2=I
 
     # --- vectorised backtrace across windows ---
-    L = T + N + 2
+    # the walk is <= n_obs + n_states + 2 steps; callers that know the
+    # batch's true maxima pass bt_len (host-computed static) so the scan
+    # does not pay for the T/N padding (T+N+2 = 330 vs ~224 at bench
+    # shapes — each scan step is a scattered (W,) gather from the code
+    # planes, the dominant backtrace cost)
+    L = min(bt_len, T + N + 2) if bt_len else T + N + 2
     cur_kind = kind0
     cur_pos = (n_states - 1).astype(jnp.int32)
     cur_col = n_obs.astype(jnp.int32)                    # DP column index
@@ -329,7 +337,7 @@ def viterbi_from_flat_ranks_sharded(mesh, obs, n_obs, starts, flat_ranks,
 
 def _viterbi_from_flat(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
                        model_table, n_states, events_per_base, hmm_probs,
-                       n_state_pad, t_pad):
+                       n_state_pad, t_pad, bt_len=None):
     T = t_pad
     oidx = obs_starts[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     obs = obs_flat[jnp.clip(oidx, 0, obs_flat.shape[0] - 1)]
@@ -338,17 +346,26 @@ def _viterbi_from_flat(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
     r = flat_ranks[jnp.clip(ridx, 0, flat_ranks.shape[0] - 1)]
     in_range = jnp.arange(N, dtype=jnp.int32)[None, :] < n_states[:, None]
     ranks = jnp.where(in_range, r, -1)
-    pc, pl, score = viterbi_from_ranks_core(obs, n_obs, ranks, model_table,
-                                            n_states, events_per_base,
-                                            hmm_probs)
+    obs = obs.astype(jnp.float32)
+    safe = jnp.clip(ranks, 0, model_table.shape[0] - 1)
+    mu = model_table[safe, 0]
+    sigma = jnp.maximum(model_table[safe, 1], 1e-6)
+    inv_sigma = 1.0 / sigma
+    lp_const = jnp.float32(np.log(0.3989422804014327)) - jnp.log(sigma)
+    lp_const = jnp.where(ranks < 0, NEG, lp_const)
+    pc, pl, score = viterbi_fill_backtrace(obs, n_obs, mu, inv_sigma,
+                                           lp_const, n_states,
+                                           events_per_base, hmm_probs,
+                                           use_pallas=_pallas_fill_default(),
+                                           bt_len=bt_len)
     return pack_path_codes(pc), pl, score
 
 
 @functools.partial(jax.jit, static_argnames=("hmm_probs", "n_state_pad",
-                                             "t_pad"))
+                                             "t_pad", "bt_len"))
 def viterbi_from_flat_jit(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
                           model_table, n_states, events_per_base, hmm_probs,
-                          n_state_pad, t_pad):
+                          n_state_pad, t_pad, bt_len=None):
     """Fully flat variant: observations AND ranks are gathered on device
     from resident flat arrays (each uploaded once per read batch), so a
     window chunk ships only its i32 offset vectors.  ``t_pad`` is the static
@@ -356,18 +373,20 @@ def viterbi_from_flat_jit(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
     come back nibble-packed."""
     return _viterbi_from_flat(obs_flat, obs_starts, n_obs, rank_starts,
                               flat_ranks, model_table, n_states,
-                              events_per_base, hmm_probs, n_state_pad, t_pad)
+                              events_per_base, hmm_probs, n_state_pad, t_pad,
+                              bt_len)
 
 
 @functools.lru_cache(maxsize=None)
-def _viterbi_from_flat_sharded_fn(mesh, hmm_probs, n_state_pad, t_pad):
+def _viterbi_from_flat_sharded_fn(mesh, hmm_probs, n_state_pad, t_pad,
+                                  bt_len=None):
     from jax.sharding import PartitionSpec as P
 
     def inner(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
               model_table, n_states, epb):
         return _viterbi_from_flat(obs_flat, obs_starts, n_obs, rank_starts,
                                   flat_ranks, model_table, n_states, epb,
-                                  hmm_probs, n_state_pad, t_pad)
+                                  hmm_probs, n_state_pad, t_pad, bt_len)
 
     sm = jax.shard_map(
         inner, mesh=mesh, check_vma=False,
@@ -379,13 +398,14 @@ def _viterbi_from_flat_sharded_fn(mesh, hmm_probs, n_state_pad, t_pad):
 
 def viterbi_from_flat_sharded(mesh, obs_flat, obs_starts, n_obs, rank_starts,
                               flat_ranks, model_table, n_states,
-                              events_per_base, hmm_probs, n_state_pad, t_pad):
+                              events_per_base, hmm_probs, n_state_pad, t_pad,
+                              bt_len=None):
     """Window-sharded flat variant: the flat observation/rank streams are
     replicated, the per-window offset vectors are sharded, and each device
     runs its shard's fill — the Pallas kernel on accelerators — under
     shard_map (a plain jit under a mesh would replicate the pallas_call)."""
     return _viterbi_from_flat_sharded_fn(mesh, hmm_probs, n_state_pad,
-                                         t_pad)(
+                                         t_pad, bt_len)(
         obs_flat, obs_starts, n_obs, rank_starts, flat_ranks, model_table,
         n_states, events_per_base)
 

@@ -811,6 +811,10 @@ def _viterbi_dispatch_flat_arrays(lens: np.ndarray, ostarts: np.ndarray,
     # under a mesh every device must see >= 8 rows (Pallas sublane floor)
     W = compute.pad_rows(max(W, 8 * compute.data_axis_size()))
     T = next(b for b in t_buckets if b >= int(lens.max()))
+    # backtrace scan length from the chunk's TRUE maxima (bucketed to 64 to
+    # bound compile variants) instead of the padded T+N+2 — the backtrace
+    # is ~45% of viterbi device time and linear in scan length
+    bt_len = -(-(int(lens.max()) + int(ns.max()) + 2) // 64) * 64
     n_obs = np.zeros(W, dtype=np.int32)
     n_obs[:n] = lens
     ostarts_p = np.zeros(W, dtype=np.int32)
@@ -829,13 +833,13 @@ def _viterbi_dispatch_flat_arrays(lens: np.ndarray, ostarts: np.ndarray,
             compute.put_rows(n_obs), compute.put_rows(rstarts_p),
             ranks_flat_dev, _device_model_table(models),
             compute.put_rows(n_states), compute.put_rows(epb_p), hmm_probs,
-            n_state_pad, T)
+            n_state_pad, T, bt_len)
     else:
         pc, pl, _score = vit.viterbi_from_flat_jit(
             obs_flat_dev, compute.put_rows(ostarts_p), compute.put_rows(n_obs),
             compute.put_rows(rstarts_p), ranks_flat_dev,
             _device_model_table(models), compute.put_rows(n_states),
-            compute.put_rows(epb_p), hmm_probs, n_state_pad, T)
+            compute.put_rows(epb_p), hmm_probs, n_state_pad, T, bt_len)
     _enqueue_d2h(pc, pl)
     return pc, pl, ns, n
 
@@ -1186,17 +1190,27 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
         results: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         wbucket = np.searchsorted(np.asarray(t_buckets), all_lens,
                                   side="left")
+        # state-axis bucket: plain 50 bp windows have ns <= 42 (pad 48);
+        # only breakpoint-extended windows (up to ~1.5x, ns <= 67) need the
+        # full n_state_pad plane.  The viterbi fill is throughput-bound on
+        # (N, W) vector planes, so the 48-pad bucket cuts a third of its
+        # device time for the dominant window population
+        ns_hi = (all_ns > 48).astype(np.int64) if all_lens.shape[0] else \
+            np.empty(0, np.int64)
+        gkey = wbucket * 2 + ns_hi
         # dispatch every chunk before collecting any: the device queue
         # overlaps chunk k's execution with chunk k+1's host batch build
         handles = []
         for bi in range(len(t_buckets)):
-            order = np.flatnonzero(wbucket == bi)
-            for c0 in range(0, order.shape[0], max_windows_per_batch):
-                cid = order[c0 : c0 + max_windows_per_batch]
-                handles.append((cid, _viterbi_dispatch_flat_arrays(
-                    all_lens[cid], all_ostarts[cid], all_rstarts[cid],
-                    all_ns[cid], all_epb[cid], obs_flat_dev, ranks_flat_dev,
-                    models, cfg, hmm_probs, n_state_pad, t_buckets)))
+            for nsb, ns_pad in ((0, min(48, n_state_pad)), (1, n_state_pad)):
+                order = np.flatnonzero(gkey == bi * 2 + nsb)
+                for c0 in range(0, order.shape[0], max_windows_per_batch):
+                    cid = order[c0 : c0 + max_windows_per_batch]
+                    handles.append((cid, _viterbi_dispatch_flat_arrays(
+                        all_lens[cid], all_ostarts[cid], all_rstarts[cid],
+                        all_ns[cid], all_epb[cid], obs_flat_dev,
+                        ranks_flat_dev, models, cfg, hmm_probs, ns_pad,
+                        t_buckets)))
         for cid, h in handles:
             for wid, res in zip(cid, _viterbi_windows_collect(h)):
                 results[wid] = res
