@@ -97,7 +97,7 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
             n_states.astype(jnp.int32), iM2M, eM2M, eOrIM2M, hmm_logs)
         return _terminate_and_backtrace(codes, I_fin, M_fin, D_fin, n_obs,
                                         n_states, eM2MorD, eI2M, W, T, N,
-                                        bt_len)
+                                        bt_len, use_pallas_bt=True)
 
     sidx = jnp.arange(N, dtype=jnp.int32)[:, None]       # (N, 1)
     in_range = sidx < n_states[None, :]                  # (N, W)
@@ -171,7 +171,8 @@ def viterbi_fill_backtrace(obs: jnp.ndarray,        # (W, T) f32 scaled observat
 
 
 def _terminate_and_backtrace(codes, I_fin, M_fin, D_fin, n_obs, n_states,
-                             eM2MorD, eI2M, W, T, N, bt_len=None):
+                             eM2MorD, eI2M, W, T, N, bt_len=None,
+                             use_pallas_bt=False):
     # --- termination (alignment.cpp:445-476) ---
     last = jnp.clip(n_states - 1, 0, N - 1)[None, :]
     Dl = jnp.take_along_axis(D_fin, last, axis=0)[0]
@@ -180,6 +181,18 @@ def _terminate_and_backtrace(codes, I_fin, M_fin, D_fin, n_obs, n_states,
     cand = jnp.stack([Dl, Ml + eM2MorD, Il + eI2M])
     score = cand.max(axis=0)
     kind0 = jnp.argmax(cand, axis=0).astype(jnp.int32)   # 0=D,1=M,2=I
+
+    if use_pallas_bt:
+        # countdown Pallas walk: emits a PAD-gapped forward-order stream
+        # (consumers filter PADs — same filtering also handles the scan's
+        # tail pads, so both formats decode identically)
+        from .viterbi_pallas import viterbi_backtrace_pallas
+        s_rows = min(bt_len, T + N) if bt_len else (T + N)
+        pc, pl_ = viterbi_backtrace_pallas(codes, kind0,
+                                           n_obs.astype(jnp.int32),
+                                           n_states.astype(jnp.int32),
+                                           s_rows)
+        return pc, pl_, score
 
     # --- vectorised backtrace across windows ---
     # the walk is <= n_obs + n_states + 2 steps; callers that know the

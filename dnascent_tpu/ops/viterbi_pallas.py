@@ -212,3 +212,151 @@ def viterbi_fill_codes_pallas(obs_T: jnp.ndarray,        # (T, W) f32
     M_fin = finals[1 * N : 2 * N, :W]
     D_fin = finals[2 * N : 3 * N, :W]
     return codes, I_fin, M_fin, D_fin
+
+
+# ---------------------------------------------------------------------------
+# Pallas countdown backtrace
+# ---------------------------------------------------------------------------
+
+KIND_D, KIND_M, KIND_I, KIND_PAD = 0, 1, 2, 3
+BT_DH = 4  # diagonal planes (countdown values) per grid step
+
+
+def _bt_kernel(dpl_ref, init_ref, out_ref, st,
+               *, N: int, W: int, n_blocks: int):
+    """Countdown backtrace over the code planes (replaces the XLA scan in
+    ops.viterbi._terminate_and_backtrace, which paid a scattered (W,)
+    gather per step for ~T+N tiny steps).
+
+    Every walk move strictly decreases s = column + position (D: pos-1;
+    M/I: col-1, M sometimes both), so a single global s countdown advances
+    all windows in lockstep: a window moves when the countdown passes its
+    s and emits KIND_PAD otherwise (the consumer filters PADs, which
+    preserves the move order — s decreases monotonically along the walk).
+    The code byte a window needs at s lives on the anti-diagonal
+    t + pos = s - 1 of its (T, N) plane, so the caller pre-shears the codes
+    into diagonal planes dpl[s, pos, w] = codes[s-1-pos, pos, w] and the
+    kernel streams them highest-s-first; the per-window byte is a masked
+    sublane reduction at pos.
+    """
+    i = pl.program_id(0)
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (N, W), 0)
+
+    @pl.when(i == 0)
+    def _init():
+        st[...] = init_ref[...]
+
+    kind = st[0:1, :]
+    pos = st[1:2, :]
+    col = st[2:3, :]
+    done = st[3:4, :]
+
+    base = (n_blocks - 1 - i) * BT_DH
+    for rl in range(BT_DH - 1, -1, -1):
+        s = base + rl
+        plane = dpl_ref[rl].astype(jnp.int32)            # (N, W)
+        active = (done == 0) & ((col + pos) == s)        # (1, W)
+        posc = jnp.clip(pos, 0, N - 1)
+        byte = jnp.sum(jnp.where(iota_sub == posc, plane, 0), axis=0,
+                       keepdims=True)                    # (1, W)
+        cI = byte & 3
+        cM = (byte >> 2) & 7
+        cD = (byte >> 5) & 1
+        at_init = col == 0
+        # D predecessors (same column; init column chains down to start)
+        nk_D = jnp.where(at_init | (cD == 1), KIND_D, KIND_M)
+        np_D = pos - 1
+        nc_D = col
+        # fin flags stay i32: bool vectors as where VALUES hit Mosaic's
+        # unsupported i8->i1 truncation (CLAUDE.md gotcha)
+        fin_D = jnp.where(at_init & (pos == 0), 1, 0)
+        # M predecessors (column - 1); cM==4 = from start (fin)
+        nk_M = jnp.where(cM == 0, KIND_I,
+                         jnp.where(cM == 3, KIND_D, KIND_M))
+        np_M = jnp.where((cM == 2) | (cM >= 4), pos, pos - 1)
+        nc_M = col - 1
+        fin_M = jnp.where(cM == 4, 1, 0)
+        # I predecessors (column - 1); cI==2 = from start (fin)
+        nk_I = jnp.where(cI == 0, KIND_I, KIND_M)
+        np_I = pos
+        nc_I = col - 1
+        fin_I = jnp.where(cI == 2, 1, 0)
+
+        is_D = kind == KIND_D
+        is_M = kind == KIND_M
+        nk = jnp.where(is_D, nk_D, jnp.where(is_M, nk_M, nk_I))
+        npos = jnp.where(is_D, np_D, jnp.where(is_M, np_M, np_I))
+        ncol = jnp.where(is_D, nc_D, jnp.where(is_M, nc_M, nc_I))
+        fin = jnp.where(is_D, fin_D, jnp.where(is_M, fin_M, fin_I))
+
+        delta = jnp.clip(pos - npos, 0, 1)
+        out_code = jnp.where(active, kind | (delta << 2), KIND_PAD)
+        done = jnp.where(active & (fin == 1), 1, done)
+        kind = jnp.where(active, nk, kind)
+        pos = jnp.where(active, npos, pos)
+        col = jnp.where(active, ncol, col)
+        out_ref[BT_DH - 1 - rl] = out_code.astype(jnp.uint8)
+
+    st[0:1, :] = kind
+    st[1:2, :] = pos
+    st[2:3, :] = col
+    st[3:4, :] = done
+
+
+def viterbi_backtrace_pallas(codes: jnp.ndarray,   # (T, N, W) u8 fill codes
+                             kind0: jnp.ndarray,   # (W,) i32 termination kind
+                             n_obs: jnp.ndarray,   # (W,) i32
+                             n_states: jnp.ndarray,  # (W,) i32
+                             s_rows: int):
+    """Countdown backtrace -> (path_code (W, s_pad) u8 forward order with
+    PAD gaps, path_len (W,)).  ``s_rows`` is a host-known bound on
+    max(n_obs + n_states) (bucketed static)."""
+    T, N, W = codes.shape
+    Wp = -(-W // 128) * 128
+    if Wp != W:
+        codes = jnp.pad(codes, ((0, 0), (0, 0), (0, Wp - W)))
+        kind0 = jnp.pad(kind0, (0, Wp - W))
+        n_obs = jnp.pad(n_obs, (0, Wp - W))
+        n_states = jnp.pad(n_states, (0, Wp - W), constant_values=1)
+    s_pad = -(-s_rows // BT_DH) * BT_DH
+    n_blocks = s_pad // BT_DH
+
+    # shear: dpl[s, pos, w] = codes[s - 1 - pos, pos, w] (zeros out of range)
+    planes = []
+    for i in range(N):
+        p = codes[:, i, :]
+        front = i + 1
+        back = max(0, s_pad - T - front)
+        planes.append(jnp.pad(p, ((front, back), (0, 0)))[:s_pad])
+    dpl = jnp.stack(planes, axis=1)                      # (s_pad, N, Wp)
+
+    init = jnp.stack([
+        kind0.astype(jnp.int32),
+        (n_states - 1).astype(jnp.int32),
+        n_obs.astype(jnp.int32),
+        ((n_obs < 0)).astype(jnp.int32),
+    ] + [jnp.zeros((Wp,), jnp.int32)] * 4, axis=0)       # (8, Wp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((BT_DH, N, Wp),
+                         lambda i, *_: (n_blocks - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # init (8, Wp)
+        ],
+        out_specs=pl.BlockSpec((BT_DH, 1, Wp), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, Wp), jnp.int32)],
+    )
+    kernel = functools.partial(_bt_kernel, N=N, W=Wp, n_blocks=n_blocks)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s_pad, 1, Wp), jnp.uint8),
+    )(dpl, init)
+    # rows were emitted s-descending = walk order; flip to forward order
+    path_code = out[::-1, 0, :].T[:W]                    # (W, s_pad)
+    path_len = jnp.sum((path_code & 3) != KIND_PAD, axis=1).astype(jnp.int32)
+    return path_code, path_len

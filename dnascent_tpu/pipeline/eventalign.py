@@ -923,8 +923,11 @@ def _viterbi_windows_collect(handle) -> list[tuple[np.ndarray, np.ndarray]]:
     pc, pl, ns_arr, n = handle
     pc = vit.unpack_path_codes(np.asarray(pc))
     pl = np.asarray(pl)
-    L = pc.shape[1]
-    return [(pc[i, L - pl[i]:], int(ns_arr[i])) for i in range(n)]
+    # PAD-filter instead of tail-slice: the scan backtrace pads only at the
+    # front (filtering == the old slice), the Pallas countdown backtrace
+    # leaves PAD gaps mid-stream (real codes never have kind==PAD)
+    return [(pc[i][(pc[i] & 3) != vit.KIND_PAD], int(ns_arr[i]))
+            for i in range(n)]
 
 
 def _viterbi_windows(windows: list[_Window], models: PoreModelSet,

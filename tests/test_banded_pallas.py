@@ -202,3 +202,41 @@ def test_pallas_chase_matches_scan_chase(models, rng):
         np.testing.assert_array_equal(out_a[0], out_b[0])
         assert out_a[3] == out_b[3] and out_a[4] == out_b[4] \
             and out_a[5] == out_b[5]
+
+
+def test_sharded_lean_fill_and_chase_match_single(models, rng):
+    """The mesh paths the real multi-chip pipeline takes (lean packed fill +
+    Pallas chase under shard_map) must equal the single-device calls
+    bitwise — exercised here on an 8-device mesh in interpret mode, since
+    no multi-chip hardware exists in CI."""
+    from jax.experimental.pallas import tpu as pltpu
+    from dnascent_tpu.ops import banded_pallas as bp
+    from dnascent_tpu.ops.seqcodes import pack_codes_host
+    from dnascent_tpu.parallel import compute
+
+    mesh = compute.make_data_mesh(8)
+    B, E, K = 8, 160, 160
+    ev = rng.normal(90, 10, size=(B, E)).astype(np.float16)
+    codes = rng.integers(0, 4, size=(B, K + 8)).astype(np.uint8)
+    n_ev = np.full(B, E - 50, np.int32)
+    n_km = np.full(B, K - 50, np.int32)
+    tbl = jnp.asarray(models.pore_model)
+    sig0 = float(models.pore_model[0, 1])
+    packed, badmap = pack_codes_host(codes)
+    kw = dict(n_codes=codes.shape[1], inv_sigma=1.0 / sig0,
+              lp_const=float(np.log(0.3989422804014327) - np.log(sig0)))
+    with pltpu.force_tpu_interpret_mode():
+        a = bp.banded_fill_pallas_lean_from_packed_jit(
+            jnp.asarray(ev), jnp.asarray(packed), jnp.asarray(badmap), tbl,
+            jnp.asarray(n_ev), jnp.asarray(n_km), **kw)
+        b = bp.banded_fill_pallas_lean_from_packed_sharded(
+            mesh, jnp.asarray(ev), jnp.asarray(packed), jnp.asarray(badmap),
+            tbl, jnp.asarray(n_ev), jnp.asarray(n_km), **kw)
+        pa = bp.backtrace_moves_pallas_jit(a[0], a[1], jnp.asarray(a[2]),
+                                           jnp.asarray(n_km))
+        pb = bp.backtrace_moves_pallas_sharded(mesh, b[0], b[1],
+                                               jnp.asarray(b[2]),
+                                               jnp.asarray(n_km))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))

@@ -44,4 +44,9 @@ def test_pallas_fill_matches_scan(monkeypatch):
         pc_p, pl_p, sc_p = _run(True, obs, n_obs, ranks, n_states, epb, table)
     np.testing.assert_allclose(np.asarray(sc_p), np.asarray(sc_x), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(pl_p), np.asarray(pl_x))
-    np.testing.assert_array_equal(np.asarray(pc_p), np.asarray(pc_x))
+    # the pallas path uses the countdown backtrace: PAD-gapped stream whose
+    # filtered move sequence must equal the scan walk exactly
+    pc_x, pc_p = np.asarray(pc_x), np.asarray(pc_p)
+    for w in range(pc_x.shape[0]):
+        np.testing.assert_array_equal(pc_p[w][(pc_p[w] & 3) != 3],
+                                      pc_x[w][(pc_x[w] & 3) != 3])
