@@ -970,7 +970,11 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
 
     # T buckets trade scan-length padding against kernel compiles (each
     # distinct (W, T) pair compiles once into the persistent cache)
-    t_buckets = (128, 256, 512, 1024)
+    # finer low-end granularity: typical 50 bp windows carry ~100-190
+    # observations, and the throughput-bound viterbi fill is linear in the
+    # padded T — the 192 bucket alone cuts ~25% off the dominant population
+    # (each bucket is one more cached executable)
+    t_buckets = (128, 192, 256, 384, 512, 1024)
     t_cap = t_buckets[-1]
 
     def get_calls(w):
