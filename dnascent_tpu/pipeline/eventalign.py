@@ -706,7 +706,10 @@ def _viterbi_windows_dispatch(windows: list[_Window], models: PoreModelSet,
     obs_list = [w.obs_scaled for w in windows]
     lens = np.fromiter((o.shape[0] for o in obs_list), np.int64, n)
     T = next(b for b in t_buckets if b >= int(lens.max()))
-    N = n_state_pad
+    ns_max = max(w.window_length - cfg.kmer_len + 1 for w in windows)
+    # same 48-state bucket as the fast path: plain 50 bp windows carry <=42
+    # states; only breakpoint-extended windows need the full plane
+    N = min(48, n_state_pad) if ns_max <= 48 else n_state_pad
     # scatter-fill the padded batch in a few vectorised ops (a python loop
     # here costs more than the device call for thousands of windows)
     # f16 halves the largest upload; the kernel computes in f32 (strict
