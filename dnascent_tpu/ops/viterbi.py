@@ -359,18 +359,9 @@ def _viterbi_from_flat(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
     r = flat_ranks[jnp.clip(ridx, 0, flat_ranks.shape[0] - 1)]
     in_range = jnp.arange(N, dtype=jnp.int32)[None, :] < n_states[:, None]
     ranks = jnp.where(in_range, r, -1)
-    obs = obs.astype(jnp.float32)
-    safe = jnp.clip(ranks, 0, model_table.shape[0] - 1)
-    mu = model_table[safe, 0]
-    sigma = jnp.maximum(model_table[safe, 1], 1e-6)
-    inv_sigma = 1.0 / sigma
-    lp_const = jnp.float32(np.log(0.3989422804014327)) - jnp.log(sigma)
-    lp_const = jnp.where(ranks < 0, NEG, lp_const)
-    pc, pl, score = viterbi_fill_backtrace(obs, n_obs, mu, inv_sigma,
-                                           lp_const, n_states,
-                                           events_per_base, hmm_probs,
-                                           use_pallas=_pallas_fill_default(),
-                                           bt_len=bt_len)
+    pc, pl, score = viterbi_from_ranks_core(obs, n_obs, ranks, model_table,
+                                            n_states, events_per_base,
+                                            hmm_probs, bt_len=bt_len)
     return pack_path_codes(pc), pl, score
 
 
@@ -433,7 +424,7 @@ def _pallas_fill_default() -> bool:
 
 
 def viterbi_from_ranks_core(obs, n_obs, ranks, model_table, n_states,
-                            events_per_base, hmm_probs):
+                            events_per_base, hmm_probs, bt_len=None):
     obs = obs.astype(jnp.float32)
     safe = jnp.clip(ranks, 0, model_table.shape[0] - 1)
     mu = model_table[safe, 0]
@@ -443,7 +434,8 @@ def viterbi_from_ranks_core(obs, n_obs, ranks, model_table, n_states,
     lp_const = jnp.where(ranks < 0, NEG, lp_const)
     return viterbi_fill_backtrace(obs, n_obs, mu, inv_sigma, lp_const,
                                   n_states, events_per_base, hmm_probs,
-                                  use_pallas=_pallas_fill_default())
+                                  use_pallas=_pallas_fill_default(),
+                                  bt_len=bt_len)
 
 
 @functools.partial(jax.jit, static_argnames=("hmm_probs",))

@@ -925,10 +925,10 @@ def _viterbi_windows_collect(handle) -> list[tuple[np.ndarray, np.ndarray]]:
     window in dispatch order."""
     pc, pl, ns_arr, n = handle
     pc = vit.unpack_path_codes(np.asarray(pc))
-    pl = np.asarray(pl)
     # PAD-filter instead of tail-slice: the scan backtrace pads only at the
     # front (filtering == the old slice), the Pallas countdown backtrace
-    # leaves PAD gaps mid-stream (real codes never have kind==PAD)
+    # leaves PAD gaps mid-stream (real codes never have kind==PAD);
+    # path_len is no longer needed host-side
     return [(pc[i][(pc[i] & 3) != vit.KIND_PAD], int(ns_arr[i]))
             for i in range(n)]
 

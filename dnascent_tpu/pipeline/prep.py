@@ -253,7 +253,10 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             # N-containing kmers default to rank 0 exactly like the host's
             # where(rank < 0, 0, rank) (data_IO.cpp:131)
             from ..utils.seqtools import encode_bases
-            codes = np.zeros((B, K + k - 1), dtype=np.uint8)
+            # width rounded to a multiple of 4 so the 2-bit pack always
+            # applies (the VMEM budget above assumes the lean kernel; tail
+            # codes yield garbage ranks beyond n_kmers that nothing reads)
+            codes = np.zeros((B, -(-(K + k - 1) // 4) * 4), dtype=np.uint8)
             for b, p in enumerate(group):
                 bc = encode_bases(p.record.basecall).astype(np.uint8)
                 codes[b, : bc.shape[0]] = bc
@@ -263,7 +266,7 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             fill_kw = dict(bandwidth=bw,
                            epsilon_skip=cfg.banded.epsilon_skip,
                            p_trim=cfg.banded.p_trim)
-            if _lean_scalars is not None and codes.shape[1] % 4 == 0:
+            if _lean_scalars is not None:
                 # static-stdv: single-mu-plane kernel (~10% faster, half
                 # the VMEM input footprint), sequence shipped 2-bit packed
                 from ..ops.seqcodes import pack_codes_host

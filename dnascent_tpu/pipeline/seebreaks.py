@@ -179,21 +179,28 @@ def observation_fast(runoffs: np.ndarray, iterations, seed):
     return runoffs[idx].mean(axis=1)
 
 
+_BOOTSTRAP_JIT = None
+
+
 def _bootstrap_device_jit():
     """Device bootstrap (SURVEY §5 long-context row / §7.1 item 5: the
     5000×n_forks draw grid is one ``jax.random`` batch).  Statistics match
     the numpy fast path (same math, different RNG stream); parity mode
-    stays on the native libstdc++ RNG."""
+    stays on the native libstdc++ RNG.  The jitted fn is cached at module
+    level and only the SHAPES are static — seed and the end-tolerance
+    sweep value are traced, so the 6-point sweep reuses one executable
+    instead of recompiling per tolerance."""
+    global _BOOTSTRAP_JIT
+    if _BOOTSTRAP_JIT is not None:
+        return _BOOTSTRAP_JIT
     import functools
     import jax
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnames=("iterations", "n_forks",
-                                                 "n_obs", "seed",
-                                                 "fs_boundary",
-                                                 "end_tolerance"))
-    def f(v5, v3, fork_len, runoffs, *, iterations, n_forks, n_obs, seed,
-          fs_boundary, end_tolerance):
+                                                 "n_obs"))
+    def f(v5, v3, fork_len, runoffs, seed, fs_boundary, end_tolerance, *,
+          iterations, n_forks, n_obs):
         key = jax.random.PRNGKey(seed)
         k1, k2, k3, k4 = jax.random.split(key, 4)
         ri = jax.random.randint(k1, (iterations, n_forks), 0, v5.shape[0])
@@ -211,6 +218,7 @@ def _bootstrap_device_jit():
         obs = runoffs[oi].mean(axis=1, dtype=jnp.float32)
         return sim, obs
 
+    _BOOTSTRAP_JIT = f
     return f
 
 
@@ -221,10 +229,10 @@ def bootstrap_fast_device(v5, v3, fork_len, runoffs, iterations, seed,
     import jax.numpy as jnp
     f = _bootstrap_device_jit()
     sim, obs = f(jnp.asarray(v5), jnp.asarray(v3), jnp.asarray(fork_len),
-                 jnp.asarray(runoffs), iterations=int(iterations),
-                 n_forks=int(runoffs.shape[0]), n_obs=int(runoffs.shape[0]),
-                 seed=int(seed), fs_boundary=int(fs_boundary),
-                 end_tolerance=int(end_tolerance))
+                 jnp.asarray(runoffs), jnp.int32(seed),
+                 jnp.int32(fs_boundary), jnp.int32(end_tolerance),
+                 iterations=int(iterations),
+                 n_forks=int(runoffs.shape[0]), n_obs=int(runoffs.shape[0]))
     return np.asarray(sim), np.asarray(obs)
 
 
