@@ -395,7 +395,9 @@ def main():
                "compiles on a cold cache)")
         long_records = list(SimulatedSource(models, cfg, n_reads=N_LONG,
                                             length=LONG_LEN, seed=77))
-        lb = max(1, min(16, N_LONG))
+        # batch 8: two+ batches pipeline; a single batch-16 dispatch has
+        # nothing to overlap with (interleaved A/B at 50 kb: 11.7 vs 6.6)
+        lb = max(1, min(8, N_LONG))
         _run(long_records, models, model, params, cfg, lb, depth)  # warmup
         stats = DetectStats()
         t0 = time.perf_counter()
