@@ -345,9 +345,10 @@ def banded_fill_pallas_jit(scaled_events, mu, inv_sigma, lp_const, n_events,
 def _kernel_lean(mu_ref, evr_ref, readvec_ref,          # VMEM inputs
                  trace_ref, rights_ref, best_score_ref, best_event_ref,
                  prev1, prev2, win_mu, win_ev, e0v_s, k0v_s, rp_s,
-                 best_s, best_e,                         # scratch
+                 best_s, best_e, land_mu, land_ev, dma_sems,  # scratch
                  *, B: int, W: int, lp_skip: float, lp_trim: float,
-                 h_c: float, Kp: int, Ep: int, n_steps: int):
+                 h_c: float, Kp: int, Ep: int, n_steps: int,
+                 hbm: bool = False):
     """Static-stdv specialisation of _kernel (the shipping pipeline's case:
     the banded aligner scores against the ONT model with stdv forced to 0.14,
     data_IO.cpp:173, so inv_sigma and lp_const are per-call scalars).
@@ -369,6 +370,12 @@ def _kernel_lean(mu_ref, evr_ref, readvec_ref,          # VMEM inputs
     (A pl.when gate skipping start-cell tracking for provably-dead early
     bands was tried and REVERTED: four scalar branches per grid step cost
     ~11% — more than the skipped vector work was worth.)
+
+    ``hbm=True`` leaves the mu/event planes in HBM and refills the windows
+    by per-row async DMA at arbitrary offsets instead of VMEM slicing —
+    VMEM residency becomes independent of read length, so any read
+    (hundreds of kb to Mb) runs the fast kernel at full batch instead of
+    spilling to the XLA scan (SURVEY §7.3 item 3).
     """
     step = pl.program_id(0)
     offs = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
@@ -390,17 +397,53 @@ def _kernel_lean(mu_ref, evr_ref, readvec_ref,          # VMEM inputs
     def _refill():
         e0 = e0v_s[:]
         k0 = k0v_s[:]
-        for b in range(B):
-            ks = jnp.clip(k0[b, 0] + W, 0, Kp - 384)
-            es = jnp.clip(Ep - 1 - D - EPAD_L - e0[b, 0], 0, Ep - 384)
-            kbase = pl.multiple_of((ks // 128) * 128, 128)
-            ebase = pl.multiple_of((es // 128) * 128, 128)
-            krem = ks - kbase
-            erem = es - ebase
-            sl = mu_ref[b : b + 1, pl.ds(kbase, 384)]
-            win_mu[b : b + 1, :] = pltpu.roll(sl, 384 - krem, 1)[:, :WIN]
-            sl = evr_ref[b : b + 1, pl.ds(ebase, 384)]
-            win_ev[b : b + 1, :] = pltpu.roll(sl, 384 - erem, 1)[:, :WIN]
+        if hbm:
+            # streamed planes: the HBM memref keeps the (8, 128) tiling, so
+            # a DMA source slice must be 8-aligned in sublanes and
+            # 128-aligned in lanes — copy the aligned 8-row block that
+            # CONTAINS each read's row (at that read's lane base) into a
+            # per-read landing block, then roll the read's row into its
+            # window like the VMEM-resident path
+            dmas = []
+            rems = []
+            for b in range(B):
+                blk = (b // 8) * 8
+                ks = jnp.clip(k0[b, 0] + W, 0, Kp - 384)
+                es = jnp.clip(Ep - 1 - D - EPAD_L - e0[b, 0], 0, Ep - 384)
+                kbase = pl.multiple_of((ks // 128) * 128, 128)
+                ebase = pl.multiple_of((es // 128) * 128, 128)
+                rems.append((ks - kbase, es - ebase))
+                d1 = pltpu.make_async_copy(
+                    mu_ref.at[blk : blk + 8, pl.ds(kbase, 384)],
+                    land_mu.at[8 * b : 8 * b + 8, :], dma_sems.at[2 * b])
+                d2 = pltpu.make_async_copy(
+                    evr_ref.at[blk : blk + 8, pl.ds(ebase, 384)],
+                    land_ev.at[8 * b : 8 * b + 8, :], dma_sems.at[2 * b + 1])
+                d1.start()
+                d2.start()
+                dmas.append(d1)
+                dmas.append(d2)
+            for d in dmas:
+                d.wait()
+            for b in range(B):
+                krem, erem = rems[b]
+                r = 8 * b + (b % 8)
+                sl = land_mu[r : r + 1, :]
+                win_mu[b : b + 1, :] = pltpu.roll(sl, 384 - krem, 1)[:, :WIN]
+                sl = land_ev[r : r + 1, :]
+                win_ev[b : b + 1, :] = pltpu.roll(sl, 384 - erem, 1)[:, :WIN]
+        else:
+            for b in range(B):
+                ks = jnp.clip(k0[b, 0] + W, 0, Kp - 384)
+                es = jnp.clip(Ep - 1 - D - EPAD_L - e0[b, 0], 0, Ep - 384)
+                kbase = pl.multiple_of((ks // 128) * 128, 128)
+                ebase = pl.multiple_of((es // 128) * 128, 128)
+                krem = ks - kbase
+                erem = es - ebase
+                sl = mu_ref[b : b + 1, pl.ds(kbase, 384)]
+                win_mu[b : b + 1, :] = pltpu.roll(sl, 384 - krem, 1)[:, :WIN]
+                sl = evr_ref[b : b + 1, pl.ds(ebase, 384)]
+                win_ev[b : b + 1, :] = pltpu.roll(sl, 384 - erem, 1)[:, :WIN]
 
     trace_acc = jnp.zeros((B, W), dtype=jnp.int32)
     rights_acc = jnp.zeros((B, 1), dtype=jnp.int32)
@@ -531,11 +574,15 @@ def banded_fill_pallas_lean(scaled_events: jnp.ndarray,  # (B, E) f32
                             lp_const: float,
                             bandwidth: int = 100,
                             epsilon_skip: float = 1e-30,
-                            p_trim: float = 0.01):
+                            p_trim: float = 0.01,
+                            hbm_stream: bool = False):
     """Static-stdv Pallas fill (same outputs as banded_fill_pallas).
 
     ``inv_sigma`` and ``lp_const`` are per-call Python scalars (the static
     0.14-stdv model); ``mu`` carries +inf at undefined kmers.
+    ``hbm_stream`` keeps the planes in HBM and refills by DMA — VMEM use
+    becomes length-independent, so arbitrarily long reads take this kernel
+    instead of the XLA-scan spill.
     """
     B0, E = scaled_events.shape
     Bpad = (-B0) % 8
@@ -577,8 +624,10 @@ def banded_fill_pallas_lean(scaled_events: jnp.ndarray,  # (B, E) f32
         num_scalar_prefetch=0,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # mu plane
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # reversed events
+            pl.BlockSpec(memory_space=(pltpu.MemorySpace.HBM if hbm_stream
+                                       else pltpu.VMEM)),  # mu plane
+            pl.BlockSpec(memory_space=(pltpu.MemorySpace.HBM if hbm_stream
+                                       else pltpu.VMEM)),  # reversed events
             pl.BlockSpec(memory_space=pltpu.VMEM),  # per-read vectors (B, 4)
         ],
         out_specs=(
@@ -601,11 +650,14 @@ def banded_fill_pallas_lean(scaled_events: jnp.ndarray,  # (B, E) f32
             pltpu.VMEM((B, 1), jnp.int32),          # right_prev
             pltpu.VMEM((B, 1), jnp.float32),        # best_s
             pltpu.VMEM((B, 1), jnp.int32),          # best_e
+            pltpu.VMEM((8 * B, 384), jnp.float32),  # hbm landing (mu)
+            pltpu.VMEM((8 * B, 384), jnp.float32),  # hbm landing (events)
+            pltpu.SemaphoreType.DMA((2 * B,)),      # hbm refill semaphores
         ],
     )
     kernel = functools.partial(_kernel_lean, B=B, W=W, lp_skip=lp_skip,
                                lp_trim=lp_trim, h_c=h_c, Kp=Kp, Ep=Ep,
-                               n_steps=n_steps)
+                               n_steps=n_steps, hbm=hbm_stream)
     readvec = jnp.stack(
         [lp_stay, lp_step, n_events.astype(jnp.float32),
          n_kmers.astype(jnp.float32)], axis=1)              # (B, 4) f32
@@ -650,13 +702,13 @@ def banded_fill_pallas_lean_from_codes_jit(scaled_events, codes, model_table,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_codes", "inv_sigma", "lp_const", "bandwidth", "epsilon_skip",
-    "p_trim"))
+    "p_trim", "hbm_stream"))
 def banded_fill_pallas_lean_from_packed_jit(scaled_events, packed, badmap,
                                             model_table, n_events, n_kmers,
                                             *, n_codes, inv_sigma, lp_const,
                                             bandwidth=100,
                                             epsilon_skip=1e-30,
-                                            p_trim=0.01):
+                                            p_trim=0.01, hbm_stream=False):
     """Lean fill fed 2-bit packed base codes + non-ACGT bitmap (4x fewer
     sequence bytes over the tunnel than the u8 code stream)."""
     from .seqcodes import codes_from_packed
@@ -665,12 +717,13 @@ def banded_fill_pallas_lean_from_packed_jit(scaled_events, packed, badmap,
     return banded_fill_pallas_lean(
         scaled_events.astype(jnp.float32), mu, n_events, n_kmers,
         inv_sigma=inv_sigma, lp_const=lp_const, bandwidth=bandwidth,
-        epsilon_skip=epsilon_skip, p_trim=p_trim)
+        epsilon_skip=epsilon_skip, p_trim=p_trim, hbm_stream=hbm_stream)
 
 
 @functools.lru_cache(maxsize=None)
 def _lean_packed_fill_sharded_fn(mesh, n_codes, inv_sigma, lp_const,
-                                 bandwidth, epsilon_skip, p_trim):
+                                 bandwidth, epsilon_skip, p_trim,
+                                 hbm_stream=False):
     from jax.sharding import PartitionSpec as P
 
     def inner(scaled_events, packed, badmap, model_table, n_events, n_kmers):
@@ -680,7 +733,8 @@ def _lean_packed_fill_sharded_fn(mesh, n_codes, inv_sigma, lp_const,
         return banded_fill_pallas_lean(
             scaled_events.astype(jnp.float32), mu, n_events, n_kmers,
             inv_sigma=inv_sigma, lp_const=lp_const, bandwidth=bandwidth,
-            epsilon_skip=epsilon_skip, p_trim=p_trim)
+            epsilon_skip=epsilon_skip, p_trim=p_trim,
+            hbm_stream=hbm_stream)
 
     row2 = P("data", None)
     sm = jax.shard_map(
@@ -697,11 +751,12 @@ def banded_fill_pallas_lean_from_packed_sharded(mesh, scaled_events, packed,
                                                 n_codes, inv_sigma, lp_const,
                                                 bandwidth=100,
                                                 epsilon_skip=1e-30,
-                                                p_trim=0.01):
+                                                p_trim=0.01,
+                                                hbm_stream=False):
     return _lean_packed_fill_sharded_fn(
         mesh, n_codes, inv_sigma, lp_const, bandwidth, epsilon_skip,
-        p_trim)(scaled_events, packed, badmap, model_table, n_events,
-                n_kmers)
+        p_trim, hbm_stream)(scaled_events, packed, badmap, model_table,
+                            n_events, n_kmers)
 
 
 @functools.lru_cache(maxsize=None)

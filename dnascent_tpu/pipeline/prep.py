@@ -207,20 +207,21 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
     global _SPILL_NOTED
     for (E, K), group in buckets.items():
         if (jax.default_backend() != "cpu" and not _SPILL_NOTED
-                and _pallas_fill_batch(E, K) == 0):
-            # explicit ultra-long-read spill path (SURVEY §7.3 item 3):
-            # past ~163 kb (lean kernel; ~85 kb general) the Pallas fill's
-            # VMEM-resident inputs no longer fit, so these reads take the
-            # HBM-resident XLA scan fill
+                and _lean_scalars is None and _pallas_fill_batch(E, K) == 0):
+            # ultra-long-read spill (general per-kmer-stdv models only —
+            # the static-stdv case streams from HBM at any length): past
+            # ~85 kb the 3-plane fill's VMEM-resident inputs no longer fit
             import sys as _sys
             print(f"note: reads with ~{E} events exceed the Pallas banded "
                   "fill's VMEM budget; using the XLA scan fill for them "
                   "(slower per read, same output)", file=_sys.stderr)
             _SPILL_NOTED = True
         # per-DEVICE cap, scaled by the mesh extent so every device sees a
-        # full slab per dispatch
+        # full slab per dispatch.  Static-stdv keeps the full cap at any
+        # length (VMEM-resident kernel when it fits, HBM-streaming refill
+        # beyond); general models shrink to the 3-plane VMEM budget
         cap = MAX_FILL_B
-        if jax.default_backend() != "cpu":
+        if jax.default_backend() != "cpu" and _lean_scalars is None:
             cap = min(cap, _pallas_fill_batch(E, K)) or MAX_FILL_B
         cap *= compute.data_axis_size()
         for c in range(0, len(group), cap):
@@ -247,7 +248,9 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
             p.shift_q, p.scale_q = p.shift, p.scale
             p.events_row, p.events_stride = b, E
         mesh = compute.get_compute_mesh()
-        if use_pallas_fill(B, E, K):
+        _lean_any_len = (_lean_scalars is not None
+                         and jax.default_backend() != "cpu")
+        if use_pallas_fill(B, E, K) or _lean_any_len:
             # ship u8 base codes (255 = non-ACGT), not i32 ranks: 4x fewer
             # bytes over the tunnel; ranks are rebuilt on device and
             # N-containing kmers default to rank 0 exactly like the host's
@@ -268,12 +271,16 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
                            p_trim=cfg.banded.p_trim)
             if _lean_scalars is not None:
                 # static-stdv: single-mu-plane kernel (~10% faster, half
-                # the VMEM input footprint), sequence shipped 2-bit packed
+                # the VMEM input footprint), sequence shipped 2-bit packed.
+                # When the per-device rows exceed the VMEM-resident budget
+                # (long reads), the same kernel streams its planes from HBM
+                # by DMA instead of spilling to the XLA scan
                 from ..ops.seqcodes import pack_codes_host
                 packed, badmap = pack_codes_host(codes)
                 fill_kw.update(n_codes=codes.shape[1],
                                inv_sigma=_lean_scalars[0],
-                               lp_const=_lean_scalars[1])
+                               lp_const=_lean_scalars[1],
+                               hbm_stream=not use_pallas_fill(B, E, K))
                 if mesh is not None:
                     tp, rp, best_e, _ = \
                         _bp.banded_fill_pallas_lean_from_packed_sharded(

@@ -240,3 +240,29 @@ def test_sharded_lean_fill_and_chase_match_single(models, rng):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_lean_hbm_stream_matches_vmem(models, rng):
+    """The HBM-streaming refill variant (used beyond the VMEM-resident
+    budget — ultra-long reads) must equal the VMEM-resident lean kernel
+    bitwise (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from dnascent_tpu.ops import banded_pallas as bp
+
+    B, E, K = 8, 700, 700
+    ev = rng.normal(0, 1, size=(B, E)).astype(np.float32)
+    mu = rng.normal(0, 1, size=(B, K)).astype(np.float32)
+    n_ev = np.full(B, E - 60, np.int32)
+    n_km = np.full(B, K - 60, np.int32)
+    sig0 = float(models.pore_model[0, 1])
+    kw = dict(inv_sigma=1.0 / sig0,
+              lp_const=float(np.log(0.3989422804014327) - np.log(sig0)))
+    with pltpu.force_tpu_interpret_mode():
+        a = bp.banded_fill_pallas_lean(jnp.asarray(ev), jnp.asarray(mu),
+                                       jnp.asarray(n_ev), jnp.asarray(n_km),
+                                       **kw)
+        b = bp.banded_fill_pallas_lean(jnp.asarray(ev), jnp.asarray(mu),
+                                       jnp.asarray(n_ev), jnp.asarray(n_km),
+                                       hbm_stream=True, **kw)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
