@@ -34,10 +34,17 @@ def main():
     records = list(SimulatedSource(models, cfg, n_reads=n_reads,
                                    length=read_len, seed=1234))
 
-    configs = {
-        "A(b16,f16,d6)": dict(batch=16, fill=16, depth=6),
-        "B(b32,f32,d4)": dict(batch=32, fill=32, depth=4),
-    }
+    import os as _os
+    if _os.environ.get("AB_DEPTH"):
+        configs = {
+            "A(b16,f16,d6)": dict(batch=16, fill=16, depth=6),
+            "B(b16,f16,d9)": dict(batch=16, fill=16, depth=9),
+        }
+    else:
+        configs = {
+            "A(b16,f16,d6)": dict(batch=16, fill=16, depth=6),
+            "B(b32,f32,d4)": dict(batch=32, fill=32, depth=4),
+        }
 
     def run(c):
         prev = os.environ.get("DNASCENT_MAX_FILL_B")
