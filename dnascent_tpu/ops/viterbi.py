@@ -269,23 +269,43 @@ def _terminate_and_backtrace(codes, I_fin, M_fin, D_fin, n_obs, n_states,
 
 
 def pack_path_codes(path_code: jnp.ndarray) -> jnp.ndarray:
-    """Nibble-pack path codes (3 significant bits each) two per byte so the
-    path download halves.  Pads a leading KIND_PAD column when L is odd so
-    the "last path_len entries" alignment survives unpacking."""
+    """Bit-pack path codes (3 significant bits each) eight per three bytes
+    — 2.67 codes/byte vs the previous nibble pack's 2, cutting the largest
+    remaining d2h stream another 25%.  Pads leading KIND_PAD entries to a
+    multiple of 8; consumers PAD-filter, so leading pads are free."""
     W, L = path_code.shape
-    if L % 2:
-        pad = jnp.full((W, 1), KIND_PAD, dtype=jnp.uint8)
-        path_code = jnp.concatenate([pad, path_code], axis=1)
-    return path_code[:, 0::2] | (path_code[:, 1::2] << 4)
+    pad = (-L) % 8
+    if pad:
+        path_code = jnp.concatenate(
+            [jnp.full((W, pad), KIND_PAD, dtype=jnp.uint8), path_code],
+            axis=1)
+        L += pad
+    c = path_code.reshape(W, L // 8, 8).astype(jnp.int32)
+    c0, c1, c2, c3 = c[:, :, 0], c[:, :, 1], c[:, :, 2], c[:, :, 3]
+    c4, c5, c6, c7 = c[:, :, 4], c[:, :, 5], c[:, :, 6], c[:, :, 7]
+    b0 = c0 | (c1 << 3) | ((c2 & 3) << 6)
+    b1 = (c2 >> 2) | (c3 << 1) | (c4 << 4) | ((c5 & 1) << 7)
+    b2 = (c5 >> 1) | (c6 << 2) | (c7 << 5)
+    return (jnp.stack([b0, b1, b2], axis=2)
+            .reshape(W, 3 * (L // 8)).astype(jnp.uint8))
 
 
 def unpack_path_codes(packed: np.ndarray) -> np.ndarray:
-    """Host-side inverse of :func:`pack_path_codes` -> (W, 2*Lp) uint8."""
-    W, Lp = packed.shape
-    out = np.empty((W, 2 * Lp), dtype=np.uint8)
-    out[:, 0::2] = packed & 0x0F
-    out[:, 1::2] = packed >> 4
-    return out
+    """Host-side inverse of :func:`pack_path_codes` -> (W, 8*Lp/3) uint8."""
+    W, P = packed.shape
+    b = packed.reshape(W, P // 3, 3).astype(np.int64)
+    b0, b1, b2 = b[:, :, 0], b[:, :, 1], b[:, :, 2]
+    cols = [
+        b0 & 7,
+        (b0 >> 3) & 7,
+        ((b0 >> 6) & 3) | ((b1 & 1) << 2),
+        (b1 >> 1) & 7,
+        (b1 >> 4) & 7,
+        ((b1 >> 7) & 1) | ((b2 & 3) << 1),
+        (b2 >> 2) & 7,
+        (b2 >> 5) & 7,
+    ]
+    return np.stack(cols, axis=2).reshape(W, 8 * (P // 3)).astype(np.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("hmm_probs",))

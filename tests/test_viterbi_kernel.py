@@ -94,3 +94,20 @@ def test_viterbi_kernel_matches_oracle_noisy(models, rng):
             mismatches += 1
     # f32 device vs f64 oracle: allow an occasional tie-induced divergence
     assert mismatches <= 1, f"{mismatches}/{total} windows diverged"
+
+
+def test_path_code_pack_roundtrip():
+    """3-bit path-code packing (8 codes per 3 bytes) round-trips exactly,
+    with leading KIND_PAD padding that consumers filter."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dnascent_tpu.ops.viterbi import (KIND_PAD, pack_path_codes,
+                                          unpack_path_codes)
+    rng = np.random.default_rng(2)
+    for W, L in [(4, 64), (3, 37), (7, 331)]:
+        pc = rng.integers(0, 8, size=(W, L)).astype(np.uint8)
+        out = unpack_path_codes(np.asarray(pack_path_codes(jnp.asarray(pc))))
+        pad = (-L) % 8
+        if pad:
+            assert (out[:, :pad] == KIND_PAD).all()
+        np.testing.assert_array_equal(out[:, pad:], pc)
