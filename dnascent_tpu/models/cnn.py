@@ -165,6 +165,20 @@ def _t_index_from_deltas(t_delta_u16):
     return jnp.cumsum(t_delta_u16.astype(jnp.int32))
 
 
+def _sig_from_flat(flat_sig_u8, counts_u8, B, L):
+    """Rebuild the (B, L, RAWDEPTH) u8 window matrix from the flat stream +
+    per-position counts with a cumsum + gather (device side)."""
+    counts = counts_u8.astype(jnp.int32).reshape(B * L)
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    j = jnp.arange(RAWDEPTH, dtype=jnp.int32)
+    idx = offs[:, None] + j[None, :]
+    valid = j[None, :] < counts[:, None]
+    flat = flat_sig_u8.astype(jnp.int32)
+    sig_q = jnp.where(valid, flat[jnp.clip(idx, 0, flat.shape[0] - 1)], 0)
+    return sig_q.astype(jnp.uint8).reshape(B, L, RAWDEPTH)
+
+
 @functools.partial(jax.jit, static_argnames=("model",))
 def apply_model_flat_f16(model: DetectCNN, params, core_idx, residual_idx,
                          flat_sig_u8, counts_u8, t_delta_u16):
@@ -180,15 +194,24 @@ def apply_model_flat_f16(model: DetectCNN, params, core_idx, residual_idx,
     detect.cpp:698), so the download shrinks ~3x.
     """
     B, L = core_idx.shape
-    counts = counts_u8.astype(jnp.int32).reshape(B * L)
-    offs = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
-    j = jnp.arange(RAWDEPTH, dtype=jnp.int32)
-    idx = offs[:, None] + j[None, :]
-    valid = j[None, :] < counts[:, None]
-    flat = flat_sig_u8.astype(jnp.int32)
-    sig_q = jnp.where(valid, flat[jnp.clip(idx, 0, flat.shape[0] - 1)], 0)
-    sig = sig_q.astype(jnp.uint8).reshape(B, L, RAWDEPTH)
+    sig = _sig_from_flat(flat_sig_u8, counts_u8, B, L)
+    probs = model.apply(params, core_idx, residual_idx, sig)
+    t_index = _t_index_from_deltas(t_delta_u16)
+    return probs.reshape(B * L, -1)[t_index, 1:].astype(jnp.float16)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def apply_model_flat_f16_packed(model: DetectCNN, params, core_idx,
+                                residual_idx, sig_payload, sig_widths,
+                                sig_mins, counts_u8, t_delta_u16):
+    """Same as :func:`apply_model_flat_f16` but the flat u8 signal stream
+    arrives block-bit-packed (~6 bits/sample instead of 8; see
+    ops/blockpack.py) and is reconstructed bit-exactly on device."""
+    from ..ops import blockpack as _bpk
+    B, L = core_idx.shape
+    flat_sig_u8 = _bpk.unpack_u8(sig_payload, sig_widths, sig_mins,
+                                 sig_widths.shape[0] * _bpk.BLOCK)
+    sig = _sig_from_flat(flat_sig_u8, counts_u8, B, L)
     probs = model.apply(params, core_idx, residual_idx, sig)
     t_index = _t_index_from_deltas(t_delta_u16)
     return probs.reshape(B * L, -1)[t_index, 1:].astype(jnp.float16)
@@ -213,26 +236,58 @@ def apply_model_from_flat_ranks_f16(model: DetectCNN, params, ks_base,
     embedding tables' padding row); ``t_delta_u16``: u16 increments of the
     flat B*L centre-T indices.  Only [BrdU, EdU] columns come back.
     """
+    B, L = ks_delta.shape
+    core_idx, residual_idx = _idx_planes_from_ranks(
+        ks_base, ks_delta, flat_off, n_pos, flat_ranks)
+    sig = _sig_from_flat(flat_sig_u8, counts_u8, B, L)
+    probs = model.apply(params, core_idx, residual_idx, sig)
+    t_index = _t_index_from_deltas(t_delta_u16)
+    return probs.reshape(B * L, -1)[t_index, 1:].astype(jnp.float16)
+
+
+def _idx_planes_from_ranks(ks_base, ks_delta, flat_off, n_pos, flat_ranks):
+    """Derive the core/residual embedding-index planes on device from the
+    resident flat k-mer-rank array + per-position kmer-start deltas."""
     from ..ops.seqcodes import (core_index_from_ranks,
                                 residual_index_from_ranks)
-    B, L = ks_delta.shape
+    L = ks_delta.shape[1]
     ks = ks_base[:, None] + jnp.cumsum(ks_delta.astype(jnp.int32), axis=1)
     in_pos = jnp.arange(L, dtype=jnp.int32)[None, :] < n_pos[:, None]
     gidx = jnp.clip(flat_off[:, None] + ks, 0, flat_ranks.shape[0] - 1)
     rank = flat_ranks[gidx]
     core_idx = jnp.where(in_pos, core_index_from_ranks(rank), 0)
     residual_idx = jnp.where(in_pos, residual_index_from_ranks(rank), 0)
-    counts = counts_u8.astype(jnp.int32).reshape(B * L)
-    offs = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
-    j = jnp.arange(RAWDEPTH, dtype=jnp.int32)
-    idx = offs[:, None] + j[None, :]
-    valid = j[None, :] < counts[:, None]
-    flat = flat_sig_u8.astype(jnp.int32)
-    sig_q = jnp.where(valid, flat[jnp.clip(idx, 0, flat.shape[0] - 1)], 0)
-    sig = sig_q.astype(jnp.uint8).reshape(B, L, RAWDEPTH)
+    return core_idx, residual_idx
+
+
+@functools.partial(jax.jit, static_argnames=("model", "L"))
+def apply_model_from_flat_ranks_f16_packed(model: DetectCNN, params, ks_base,
+                                           flat_off, n_pos, flat_ranks,
+                                           sig_payload, sig_widths, sig_mins,
+                                           aux_payload, aux_widths, aux_mins,
+                                           td_payload, td_widths, td_mins,
+                                           L: int):
+    """Fully block-bit-packed forward (ops/blockpack.py): the flat u8
+    signal stream (~6 of 8 bits used), the per-position sample counts +
+    kmer-start deltas (concatenated into one ``aux`` stream, ~7 of 16
+    combined bits used), and the u16 centre-T index increments (~4 of 16
+    bits) all arrive packed and are reconstructed bit-exactly on device.
+    Everything downstream of the unpacks matches
+    :func:`apply_model_from_flat_ranks_f16` operation for operation."""
+    from ..ops import blockpack as _bpk
+    B = n_pos.shape[0]
+    aux = _bpk.unpack_u8(aux_payload, aux_widths, aux_mins, 2 * B * L)
+    counts_u8 = aux[: B * L]
+    ks_delta = aux[B * L:].reshape(B, L)
+    core_idx, residual_idx = _idx_planes_from_ranks(
+        ks_base, ks_delta, flat_off, n_pos, flat_ranks)
+    flat_sig_u8 = _bpk.unpack_u8(sig_payload, sig_widths, sig_mins,
+                                 sig_widths.shape[0] * _bpk.BLOCK)
+    sig = _sig_from_flat(flat_sig_u8, counts_u8, B, L)
     probs = model.apply(params, core_idx, residual_idx, sig)
-    t_index = _t_index_from_deltas(t_delta_u16)
+    t_delta = _bpk.unpack_u16(td_payload, td_widths, td_mins,
+                              td_widths.shape[0] * _bpk.BLOCK)
+    t_index = _t_index_from_deltas(t_delta)
     return probs.reshape(B * L, -1)[t_index, 1:].astype(jnp.float16)
 
 

@@ -94,6 +94,11 @@ def _load():
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             i64, u32, f64p,
         ]
+        lib.blockpack_u8.restype = i64
+        lib.blockpack_u8.argtypes = [u8p, i64, i64, u8p, u8p, u8p]
+        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+        lib.blockpack_u16.restype = i64
+        lib.blockpack_u16.argtypes = [u16p, i64, i64, u8p, u8p, u16p]
         dbl = ctypes.c_double
         lib.baseline_detect_read.restype = dbl
         lib.baseline_detect_read.argtypes = [
@@ -322,3 +327,34 @@ def process_read_windows(codes, steps_per, ns_per, g_ev, ev_start,
             indel_out[:P], sig_flat[: int(fl[0])],
             (scaled_stream[: int(nsamp[0])], seg_start[:P].copy(),
              nsig[:P].copy()))
+
+
+def blockpack_u8(values: np.ndarray, block: int = 128):
+    """Lossless per-block bit-pack of a u8 stream (see ops/blockpack.py for
+    the device-side unpack).  Returns (payload, widths, mins, n_payload)."""
+    lib = get_lib()
+    v = np.ascontiguousarray(values, dtype=np.uint8)
+    n = v.shape[0]
+    if n % block:
+        raise ValueError(f"blockpack_u8: n={n} not a multiple of {block}")
+    nb = n // block
+    payload = np.zeros(n + 8, dtype=np.uint8)
+    widths = np.zeros(nb, dtype=np.uint8)
+    mins = np.zeros(nb, dtype=np.uint8)
+    n_payload = int(lib.blockpack_u8(v, n, block, payload, widths, mins))
+    return payload, widths, mins, n_payload
+
+
+def blockpack_u16(values: np.ndarray, block: int = 128):
+    """u16 variant of blockpack_u8 (widths 0..16, mins u16)."""
+    lib = get_lib()
+    v = np.ascontiguousarray(values, dtype=np.uint16)
+    n = v.shape[0]
+    if n % block:
+        raise ValueError(f"blockpack_u16: n={n} not a multiple of {block}")
+    nb = n // block
+    payload = np.zeros(2 * n + 8, dtype=np.uint8)
+    widths = np.zeros(nb, dtype=np.uint8)
+    mins = np.zeros(nb, dtype=np.uint16)
+    n_payload = int(lib.blockpack_u16(v, n, block, payload, widths, mins))
+    return payload, widths, mins, n_payload

@@ -536,4 +536,84 @@ done:
     return m;
 }
 
+// ---------------------------------------------------------------------------
+// blockpack: lossless per-block bit-packing of a u8 stream.
+//
+// The detect pipeline's largest upload is the flat u8 CNN signal stream
+// (~8 bits/sample); its per-128-sample dynamic range is ~6 bits, so packing
+// each block at its own width cuts the interconnect bytes ~25% with exact
+// reconstruction on device (ops/blockpack.unpack_u8).  Layout: per block a
+// min (u8) + width (u8, 0..8); payload is a little-endian bitstream of
+// (value - min) at `width` bits each, blocks concatenated with no padding.
+// n must be a multiple of `block` (callers pack bucket-padded streams).
+// ---------------------------------------------------------------------------
+int64_t blockpack_u8(const uint8_t* v, int64_t n, int64_t block,
+                     uint8_t* payload, uint8_t* widths, uint8_t* mins) {
+    int64_t nb = n / block;
+    uint64_t acc = 0;
+    int accbits = 0;
+    int64_t out = 0;
+    for (int64_t b = 0; b < nb; ++b) {
+        const uint8_t* p = v + b * block;
+        uint8_t mn = 255, mx = 0;
+        for (int64_t j = 0; j < block; ++j) {
+            if (p[j] < mn) mn = p[j];
+            if (p[j] > mx) mx = p[j];
+        }
+        int range = mx - mn;
+        int w = 0;
+        while ((1 << w) - 1 < range) ++w;
+        widths[b] = (uint8_t)w;
+        mins[b] = mn;
+        if (w == 0) continue;
+        for (int64_t j = 0; j < block; ++j) {
+            acc |= (uint64_t)(p[j] - mn) << accbits;
+            accbits += w;
+            while (accbits >= 8) {
+                payload[out++] = (uint8_t)(acc & 0xFF);
+                acc >>= 8;
+                accbits -= 8;
+            }
+        }
+    }
+    if (accbits > 0) payload[out++] = (uint8_t)(acc & 0xFF);
+    return out;
+}
+
+// u16 variant (same layout; widths 0..16, mins u16) for index-increment
+// streams like the CNN centre-T deltas whose values are tiny but whose
+// worst case needs 16 bits.
+int64_t blockpack_u16(const uint16_t* v, int64_t n, int64_t block,
+                      uint8_t* payload, uint8_t* widths, uint16_t* mins) {
+    int64_t nb = n / block;
+    uint64_t acc = 0;
+    int accbits = 0;
+    int64_t out = 0;
+    for (int64_t b = 0; b < nb; ++b) {
+        const uint16_t* p = v + b * block;
+        uint16_t mn = 65535, mx = 0;
+        for (int64_t j = 0; j < block; ++j) {
+            if (p[j] < mn) mn = p[j];
+            if (p[j] > mx) mx = p[j];
+        }
+        uint32_t range = (uint32_t)mx - mn;
+        int w = 0;
+        while ((1u << w) - 1 < range) ++w;
+        widths[b] = (uint8_t)w;
+        mins[b] = mn;
+        if (w == 0) continue;
+        for (int64_t j = 0; j < block; ++j) {
+            acc |= (uint64_t)(p[j] - mn) << accbits;
+            accbits += w;
+            while (accbits >= 8) {
+                payload[out++] = (uint8_t)(acc & 0xFF);
+                acc >>= 8;
+                accbits -= 8;
+            }
+        }
+    }
+    if (accbits > 0) payload[out++] = (uint8_t)(acc & 0xFF);
+    return out;
+}
+
 }  // extern "C"

@@ -87,6 +87,67 @@ def _bucket_up(n: int, step: int) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+def _pack_sig_stream(flat: np.ndarray):
+    """Block-bit-pack the flat u8 CNN signal stream for upload
+    (ops/blockpack.py): nanopore signal uses ~6 of its 8 quantised bits per
+    128-sample block, so the pipeline's largest transfer shrinks ~25% with
+    bit-exact device-side reconstruction.  Returns the device argument
+    triple (payload, widths, mins) or None to use the unpacked path (packing
+    disabled, or a pathological stream that doesn't compress).
+    """
+    import os
+    if os.environ.get("DNASCENT_PACK_SIG", "1") == "0" or not flat.shape[0]:
+        return None
+    from ..ops import blockpack as bpk
+    payload, widths, mins, n_pay = bpk.pack_u8_host(flat)
+    # 32 KB payload buckets: fine enough to keep the saving, coarse enough
+    # that a long run sees only a handful of distinct executables
+    n_bucket = _bucket_up(n_pay, 1 << 15)
+    if n_bucket >= flat.shape[0]:
+        return None    # incompressible; ship the plain stream
+    pay = np.zeros(n_bucket, dtype=np.uint8)
+    pay[:n_pay] = payload[:n_pay]
+    return (compute.put_rep(pay), compute.put_rep(widths),
+            compute.put_rep(mins))
+
+
+def _pack_aux_stream(counts: np.ndarray, ks_delta_u8: np.ndarray):
+    """Pack the per-position sample counts (values 0..RAWDEPTH, ~5 bits) and
+    kmer-start deltas (0..a few, ~2 bits) as one concatenated u8 stream —
+    together they are the second-largest per-batch upload after the signal.
+    Returns the (payload, widths, mins) device triple or None."""
+    import os
+    if os.environ.get("DNASCENT_PACK_SIG", "1") == "0":
+        return None
+    from ..ops import blockpack as bpk
+    aux = np.concatenate([counts.reshape(-1), ks_delta_u8.reshape(-1)])
+    payload, widths, mins, n_pay = bpk.pack_u8_host(aux)
+    n_bucket = _bucket_up(n_pay, 1 << 14)
+    if n_bucket >= aux.shape[0]:
+        return None
+    pay = np.zeros(n_bucket, dtype=np.uint8)
+    pay[:n_pay] = payload[:n_pay]
+    return (compute.put_rep(pay), compute.put_rep(widths),
+            compute.put_rep(mins))
+
+
+def _pack_td_stream(t_delta_u16: np.ndarray):
+    """Pack the u16 centre-T index increments (typical spacing 1..8 → ~4 of
+    16 bits).  Returns the (payload, widths, mins) device triple or None."""
+    import os
+    if os.environ.get("DNASCENT_PACK_SIG", "1") == "0":
+        return None
+    from ..ops import blockpack as bpk
+    payload, widths, mins, n_pay = bpk.pack_u16_host(t_delta_u16)
+    n_bucket = _bucket_up(n_pay, 1 << 12)
+    if n_bucket >= 2 * t_delta_u16.shape[0]:
+        return None
+    pay = np.zeros(n_bucket, dtype=np.uint8)
+    pay[:n_pay] = payload[:n_pay]
+    return (compute.put_rep(pay), compute.put_rep(widths),
+            compute.put_rep(mins))
+
+
 class _PosChunk:
     """A halo-padded slice of one read's AlignedPositions for chunked CNN
     inference over ultra-long reads (SURVEY §5 long-context: the conv
@@ -293,16 +354,33 @@ def run_cnn_batched(model, params, results: dict, prepped: list[PreparedRead],
                        else t_delta.astype(np.int32))
             # kmer-start deltas likewise drop to u8 when they fit (the
             # common case: consecutive positions advance by 0..a few bases)
+            sig_args = _pack_sig_stream(flat)
             if use_ranks:
                 ks_delta = (ks_delta32.astype(np.uint8)
                             if ks_delta32.max(initial=0) < 256
                             else ks_delta32.astype(np.uint16))
-                probs_dev = cnn_mod.apply_model_from_flat_ranks_f16(
-                    model, params, compute.put_rows(ks_base),
-                    compute.put_rows(ks_delta), compute.put_rows(flat_off),
-                    compute.put_rows(n_pos), shared_flat,
-                    compute.put_rep(flat), compute.put_rows(counts),
-                    compute.put_rep(t_delta))
+                aux_args = td_args = None
+                if (sig_args is not None and ks_delta.dtype == np.uint8
+                        and t_delta.dtype == np.uint16):
+                    aux_args = _pack_aux_stream(counts, ks_delta)
+                    td_args = _pack_td_stream(t_delta)
+                if aux_args is not None and td_args is not None:
+                    probs_dev = cnn_mod.apply_model_from_flat_ranks_f16_packed(
+                        model, params, compute.put_rows(ks_base),
+                        compute.put_rows(flat_off), compute.put_rows(n_pos),
+                        shared_flat, *sig_args, *aux_args, *td_args, L=L)
+                else:
+                    probs_dev = cnn_mod.apply_model_from_flat_ranks_f16(
+                        model, params, compute.put_rows(ks_base),
+                        compute.put_rows(ks_delta), compute.put_rows(flat_off),
+                        compute.put_rows(n_pos), shared_flat,
+                        compute.put_rep(flat), compute.put_rows(counts),
+                        compute.put_rep(t_delta))
+            elif sig_args is not None:
+                probs_dev = cnn_mod.apply_model_flat_f16_packed(
+                    model, params, compute.put_rows(core),
+                    compute.put_rows(resid), *sig_args,
+                    compute.put_rows(counts), compute.put_rep(t_delta))
             else:
                 probs_dev = cnn_mod.apply_model_flat_f16(
                     model, params, compute.put_rows(core),

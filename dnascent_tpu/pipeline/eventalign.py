@@ -907,6 +907,19 @@ def _obs_build_jit(groups, d_flat_u8, read_starts, src_base, a, b):
 
 
 @_functools.partial(_jax.jit)
+def _obs_build_blockpacked_jit(groups, payload, widths, mins, read_starts,
+                               src_base, a, b):
+    """_obs_build_jit with the delta stream block-bit-packed
+    (ops/blockpack.py): g_ev increments are almost all 1 with occasional
+    0/2..6, so per-128-value blocks pack at ~2-3 bits instead of the nibble
+    path's fixed 4 — and the same codec already ships the CNN signal."""
+    from ..ops import blockpack as _bpk
+    d_flat = _bpk.unpack_u8(payload, widths, mins,
+                            widths.shape[0] * _bpk.BLOCK)
+    return _obs_build_jit(groups, d_flat, read_starts, src_base, a, b)
+
+
+@_functools.partial(_jax.jit)
 def _obs_build_packed_jit(groups, d_packed, read_starts, src_base, a, b):
     """_obs_build_jit with the delta stream nibble-packed (two g_ev
     increments per byte).  Gaps between consecutive guard-kept events are
@@ -1130,7 +1143,25 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                 d_flat = np.zeros(_bucket_up(base, 1 << 17), dtype=np.uint8)
                 if d_parts:
                     d_flat[:base] = np.concatenate(d_parts)
-                if int(d_flat.max(initial=0)) <= 15:
+                bpk_args = None
+                if _os.environ.get("DNASCENT_PACK_SIG", "1") != "0":
+                    from ..ops import blockpack as bpk
+                    payload, widths, mins, n_pay = bpk.pack_u8_host(d_flat)
+                    n_bucket = _bucket_up(n_pay, 1 << 14)
+                    # only pay a dedicated executable when it beats the
+                    # nibble path's bytes
+                    if n_bucket < d_flat.shape[0] // 2:
+                        pay = np.zeros(n_bucket, dtype=np.uint8)
+                        pay[:n_pay] = payload[:n_pay]
+                        bpk_args = (compute.put_rep(pay),
+                                    compute.put_rep(widths),
+                                    compute.put_rep(mins))
+                if bpk_args is not None:
+                    obs_flat_dev = _obs_build_blockpacked_jit(
+                        tuple(groups), *bpk_args,
+                        compute.put_rep(rs), compute.put_rep(sb),
+                        compute.put_rep(av), compute.put_rep(bv))
+                elif int(d_flat.max(initial=0)) <= 15:
                     # nibble-pack: two increments per byte (max_gap QC
                     # bounds deltas to 6, so this is the universal case)
                     d_packed = (d_flat[0::2] | (d_flat[1::2] << 4))

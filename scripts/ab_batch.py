@@ -40,6 +40,13 @@ def main():
             "A(b16,f16,d6)": dict(batch=16, fill=16, depth=6),
             "B(b16,f16,d9)": dict(batch=16, fill=16, depth=9),
         }
+    elif _os.environ.get("AB_PACK"):
+        configs = {
+            "A(pack=1)": dict(batch=16, fill=16, depth=6,
+                              env={"DNASCENT_PACK_SIG": "1"}),
+            "B(pack=0)": dict(batch=16, fill=16, depth=6,
+                              env={"DNASCENT_PACK_SIG": "0"}),
+        }
     else:
         configs = {
             "A(b16,f16,d6)": dict(batch=16, fill=16, depth=6),
@@ -49,6 +56,8 @@ def main():
     def run(c):
         prev = os.environ.get("DNASCENT_MAX_FILL_B")
         os.environ["DNASCENT_MAX_FILL_B"] = str(c["fill"])
+        prev_env = {k: os.environ.get(k) for k in c.get("env", {})}
+        os.environ.update(c.get("env", {}))
         try:
             stats = DetectStats()
             t0 = time.perf_counter()
@@ -62,6 +71,11 @@ def main():
                 del os.environ["DNASCENT_MAX_FILL_B"]
             else:
                 os.environ["DNASCENT_MAX_FILL_B"] = prev
+            for k, v in prev_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
     best = {k: 0.0 for k in configs}
     for k, c in configs.items():  # warmup/compile both

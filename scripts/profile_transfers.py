@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Per-callsite host->device byte attribution for the detect pipeline.
+"""Per-callsite host<->device byte attribution for the detect pipeline.
 
-Monkeypatches parallel.compute.put_rows/put_rep to tag every upload with its
-caller (file:line), runs a small detect batch, and prints a sorted table of
-bytes by callsite plus dtype/shape examples.  Runs fine on CPU — byte counts
-do not depend on the backend.
+Monkeypatches parallel.compute.put_rows/put_rep (uploads) and count_d2h
+(downloads) to tag every transfer with its caller (file:line), runs a small
+detect batch, and prints sorted tables of bytes by callsite plus dtype/shape
+examples.  Runs fine on CPU — byte counts do not depend on the backend.
+NOTE: `rep` uploads tagged once-per-process (pore-model table) amortise to
+~0 in a long run; read the steady-state picture from the per-batch sites.
 
 Usage: PYTHONPATH=. python scripts/profile_transfers.py [n_reads] [read_len]
 """
@@ -49,6 +51,24 @@ def _wrap(orig, kind):
 compute.put_rows = _wrap(_orig_rows, "rows")
 compute.put_rep = _wrap(_orig_rep, "rep ")
 
+D2H_BY_SITE = collections.Counter()
+D2H_EXAMPLE = {}
+D2H_CALLS = collections.Counter()
+_orig_count_d2h = compute.count_d2h
+
+
+def _count_d2h(*arrays):
+    site = _site()
+    for a in arrays:
+        if hasattr(a, "dtype"):
+            D2H_BY_SITE[site] += int(np.prod(a.shape)) * a.dtype.itemsize
+            D2H_CALLS[site] += 1
+            D2H_EXAMPLE.setdefault(site, f"{np.shape(a)} {a.dtype}")
+    return _orig_count_d2h(*arrays)
+
+
+compute.count_d2h = _count_d2h
+
 from dnascent_tpu.config import DNA_R10
 from dnascent_tpu.io.poremodel import synthetic_model_set
 from dnascent_tpu.models import cnn as cnn_mod
@@ -75,3 +95,11 @@ print(f"{'bytes/read(KB)':>14}  {'%':>5}  {'calls':>5}  site / example")
 for site, b in BY_SITE.most_common():
     print(f"{b / N / 1e3:14.1f}  {100 * b / total:5.1f}  {CALLS[site]:5d}  "
           f"{site}  {EXAMPLE[site]}")
+
+d2h_total = sum(D2H_BY_SITE.values())
+print(f"\ntotal d2h: {d2h_total / 1e6:.2f} MB  ({d2h_total / N / 1e3:.1f} "
+      f"KB/read)")
+print(f"{'bytes/read(KB)':>14}  {'%':>5}  {'calls':>5}  site / example")
+for site, b in D2H_BY_SITE.most_common():
+    print(f"{b / N / 1e3:14.1f}  {100 * b / d2h_total:5.1f}  "
+          f"{D2H_CALLS[site]:5d}  {site}  {D2H_EXAMPLE[site]}")
