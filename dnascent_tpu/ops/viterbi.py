@@ -368,9 +368,10 @@ def viterbi_from_flat_ranks_sharded(mesh, obs, n_obs, starts, flat_ranks,
         events_per_base)
 
 
-def _viterbi_from_flat(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
-                       model_table, n_states, events_per_base, hmm_probs,
-                       n_state_pad, t_pad, bt_len=None):
+def _viterbi_from_flat_core(obs_flat, obs_starts, n_obs, rank_starts,
+                            flat_ranks, model_table, n_states,
+                            events_per_base, hmm_probs, n_state_pad, t_pad,
+                            bt_len=None):
     T = t_pad
     oidx = obs_starts[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     obs = obs_flat[jnp.clip(oidx, 0, obs_flat.shape[0] - 1)]
@@ -379,10 +380,70 @@ def _viterbi_from_flat(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
     r = flat_ranks[jnp.clip(ridx, 0, flat_ranks.shape[0] - 1)]
     in_range = jnp.arange(N, dtype=jnp.int32)[None, :] < n_states[:, None]
     ranks = jnp.where(in_range, r, -1)
-    pc, pl, score = viterbi_from_ranks_core(obs, n_obs, ranks, model_table,
-                                            n_states, events_per_base,
-                                            hmm_probs, bt_len=bt_len)
+    return viterbi_from_ranks_core(obs, n_obs, ranks, model_table,
+                                   n_states, events_per_base,
+                                   hmm_probs, bt_len=bt_len)
+
+
+def _viterbi_from_flat(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
+                       model_table, n_states, events_per_base, hmm_probs,
+                       n_state_pad, t_pad, bt_len=None):
+    pc, pl, score = _viterbi_from_flat_core(
+        obs_flat, obs_starts, n_obs, rank_starts, flat_ranks, model_table,
+        n_states, events_per_base, hmm_probs, n_state_pad, t_pad, bt_len)
     return pack_path_codes(pc), pl, score
+
+
+def compact_path_codes(pc, n_obs, n_states, sb: int):
+    """Scatter every window's non-PAD path codes into ONE flat stream at
+    per-window offsets ``cumsum(n_obs + n_states + 2)`` (a bound on any
+    window's path length), then 3-bit pack.
+
+    The padded (W, bt_len) layout downloads ~4x its true content at bench
+    shapes: the window axis is bucket-padded and every window pays the
+    chunk-max backtrace length.  The flat stream's size is the sum of the
+    per-window BOUNDS — computable host-side before dispatch, so the
+    consumer can slice windows back out without any length download.
+    Unwritten slots keep KIND_PAD and are filtered host-side exactly like
+    the padded layout's gaps.  ``sb`` must be a multiple of 8 (no leading
+    pad from the 3-bit pack shifts the offsets).
+    """
+    W, L = pc.shape
+    bound = n_obs + n_states + 2
+    off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(bound)[:-1]])
+    nonpad = (pc & 3) != KIND_PAD
+    rank = jnp.cumsum(nonpad.astype(jnp.int32), axis=1) - nonpad
+    idx = jnp.where(nonpad, off[:, None] + rank, sb)     # sb = drop slot
+    out = jnp.full((sb,), KIND_PAD, jnp.uint8)
+    out = out.at[idx.reshape(-1)].set(pc.reshape(-1), mode="drop")
+    return pack_path_codes(out[None, :])[0]
+
+
+def viterbi_from_flat_compact_jit(obs_flat, obs_starts, n_obs, rank_starts,
+                                  flat_ranks, model_table, n_states,
+                                  events_per_base, hmm_probs, n_state_pad,
+                                  t_pad, bt_len, sb):
+    """:func:`viterbi_from_flat_jit` with the path codes compacted into one
+    flat bounded stream (see :func:`compact_path_codes`) — the d2h bytes
+    drop from (W_pad x bt_len) to sum-of-bounds."""
+    return _viterbi_from_flat_compact_cached(hmm_probs, n_state_pad, t_pad,
+                                             bt_len, sb)(
+        obs_flat, obs_starts, n_obs, rank_starts, flat_ranks, model_table,
+        n_states, events_per_base)
+
+
+@functools.lru_cache(maxsize=None)
+def _viterbi_from_flat_compact_cached(hmm_probs, n_state_pad, t_pad, bt_len,
+                                      sb):
+    def inner(obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
+              model_table, n_states, events_per_base):
+        pc, pl, score = _viterbi_from_flat_core(
+            obs_flat, obs_starts, n_obs, rank_starts, flat_ranks,
+            model_table, n_states, events_per_base, hmm_probs, n_state_pad,
+            t_pad, bt_len)
+        return compact_path_codes(pc, n_obs, n_states, sb), pl, score
+    return jax.jit(inner)
 
 
 @functools.partial(jax.jit, static_argnames=("hmm_probs", "n_state_pad",

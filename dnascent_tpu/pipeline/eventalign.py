@@ -837,12 +837,31 @@ def _viterbi_dispatch_flat_arrays(lens: np.ndarray, ostarts: np.ndarray,
             ranks_flat_dev, _device_model_table(models),
             compute.put_rows(n_states), compute.put_rows(epb_p), hmm_probs,
             n_state_pad, T, bt_len)
-    else:
-        pc, pl, _score = vit.viterbi_from_flat_jit(
+        _enqueue_d2h(pc, pl)
+        return pc, pl, ns, n
+    if _os.environ.get("DNASCENT_COMPACT_PC", "1") != "0":
+        # compacted path-code download: the padded (W, bt_len) layout ships
+        # ~4x its true content (window-axis bucket padding + chunk-max
+        # backtrace length); scattering every window's codes at
+        # cumsum(n_obs + n_states + 2) bound offsets on device cuts the
+        # pipeline's largest d2h stream to sum-of-bounds, and the bounds
+        # are host-known so no length vector needs downloading
+        bound = (n_obs + n_states + 2).astype(np.int64)
+        sb = int(bound.sum())
+        sb_b = -(-sb // (1 << 13)) * (1 << 13)
+        stream, _pl, _score = vit.viterbi_from_flat_compact_jit(
             obs_flat_dev, compute.put_rows(ostarts_p), compute.put_rows(n_obs),
             compute.put_rows(rstarts_p), ranks_flat_dev,
             _device_model_table(models), compute.put_rows(n_states),
-            compute.put_rows(epb_p), hmm_probs, n_state_pad, T, bt_len)
+            compute.put_rows(epb_p), hmm_probs, n_state_pad, T, bt_len, sb_b)
+        _enqueue_d2h(stream)
+        offs = np.concatenate([[0], np.cumsum(bound)])
+        return ("compact", stream, offs, ns, n)
+    pc, pl, _score = vit.viterbi_from_flat_jit(
+        obs_flat_dev, compute.put_rows(ostarts_p), compute.put_rows(n_obs),
+        compute.put_rows(rstarts_p), ranks_flat_dev,
+        _device_model_table(models), compute.put_rows(n_states),
+        compute.put_rows(epb_p), hmm_probs, n_state_pad, T, bt_len)
     _enqueue_d2h(pc, pl)
     return pc, pl, ns, n
 
@@ -936,6 +955,14 @@ def _obs_build_packed_jit(groups, d_packed, read_starts, src_base, a, b):
 def _viterbi_windows_collect(handle) -> list[tuple[np.ndarray, np.ndarray]]:
     """Block on a dispatched Viterbi chunk; returns (codes, n_states) per
     window in dispatch order."""
+    if isinstance(handle[0], str):  # "compact" marker
+        # flat bounded stream (see compact_path_codes): slice each window
+        # at its host-computed bound offsets, then PAD-filter as usual
+        _, stream, offs, ns_arr, n = handle
+        codes = vit.unpack_path_codes(np.asarray(stream)[None, :])[0]
+        return [(seg[(seg & 3) != vit.KIND_PAD], int(ns_arr[i]))
+                for i in range(n)
+                for seg in (codes[offs[i]: offs[i + 1]],)]
     pc, pl, ns_arr, n = handle
     pc = vit.unpack_path_codes(np.asarray(pc))
     # PAD-filter instead of tail-slice: the scan backtrace pads only at the

@@ -47,6 +47,13 @@ def main():
             "B(pack=0)": dict(batch=16, fill=16, depth=6,
                               env={"DNASCENT_PACK_SIG": "0"}),
         }
+    elif _os.environ.get("AB_WGRAN"):
+        configs = {
+            "A(wgran=2048)": dict(batch=16, fill=16, depth=6,
+                                  env={"DNASCENT_VIT_W_GRAN": "2048"}),
+            "B(wgran=1024)": dict(batch=16, fill=16, depth=6,
+                                  env={"DNASCENT_VIT_W_GRAN": "1024"}),
+        }
     else:
         configs = {
             "A(b16,f16,d6)": dict(batch=16, fill=16, depth=6),

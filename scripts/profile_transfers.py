@@ -29,7 +29,10 @@ CALLS = collections.Counter()
 
 def _site():
     for fr in reversed(traceback.extract_stack()[:-2]):
-        if "dnascent_tpu" in fr.filename and "compute.py" not in fr.filename:
+        if (fr.name in ("_enqueue_d2h", "count_d2h", "_count_d2h")
+                or "compute.py" in fr.filename):
+            continue   # attribute to the enqueuer, not the helper
+        if "dnascent_tpu" in fr.filename:
             return f"{fr.filename.split('dnascent_tpu/')[-1]}:{fr.lineno}"
     return "<?>"
 

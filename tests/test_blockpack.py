@@ -172,3 +172,33 @@ def test_obs_build_blockpacked_matches_u8():
         jnp.asarray(mins), jnp.asarray(rs), jnp.asarray(sb),
         jnp.asarray(av), jnp.asarray(bv))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_detect_equal_compact_pc_on_vs_off(models, monkeypatch):
+    """The compacted path-code download layout must reproduce the padded
+    layout's detect output exactly (it reorders bytes, not information)."""
+    from dnascent_tpu.config import DNA_R10
+    from dnascent_tpu.models import cnn as cnn_mod
+    from dnascent_tpu.pipeline.detect import detect_reads
+    from dnascent_tpu.pipeline.source import SimulatedSource
+
+    model = cnn_mod.create_model(d_model=32, d_core=16, d_residual=8,
+                                 d_signal=16, dilations=(1,))
+    params = cnn_mod.default_params(model)
+
+    def run(flag: str):
+        monkeypatch.setenv("DNASCENT_COMPACT_PC", flag)
+        src = SimulatedSource(models, DNA_R10, n_reads=3, length=2000,
+                              seed=21)
+        return {rid: (d.ref_coords.copy(), d.edu_prob.copy(),
+                      d.brdu_prob.copy())
+                for rid, d in detect_reads(src, models, model, params,
+                                           cfg=DNA_R10)
+                if d is not None}
+
+    on = run("1")
+    off = run("0")
+    assert on.keys() == off.keys() and on
+    for rid in on:
+        for a, b in zip(on[rid], off[rid]):
+            np.testing.assert_array_equal(a, b)
