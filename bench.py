@@ -315,7 +315,59 @@ def _stage_breakdown(records, models, model, params, cfg, batch_size):
     return {k: round(v, 3) for k, v in t.items()}
 
 
+def _mixed_length_point(models, model, params, cfg, batch_size, depth):
+    """Field-realism secondary (VERDICT r4 #8): a log-normal read-length mix
+    (median ~8 kb, sigma 0.55 -> bulk ~3-25 kb with a 40 kb+ tail, like a
+    nanopore run), gated at the reference's default minL=1000 bp
+    (/root/reference/src/detect.cpp:68 via args; our sources apply the same
+    gate, pipeline/source.py:62) so bucket churn and padding overheads are
+    priced into a recorded number."""
+    import numpy as np
+    from dnascent_tpu.pipeline.detect import DetectStats
+    from dnascent_tpu.pipeline.source import SimulatedSource
+
+    n = int(os.environ.get("BENCH_MIXED_READS", "48"))
+    rng = np.random.default_rng(7)
+    lengths = np.exp(rng.normal(np.log(8000.0), 0.55, size=n))
+    lengths = np.clip(lengths, 400, 45000).astype(int)
+    n_gated = int((lengths < 1000).sum())
+    records = []
+    for i, ln in enumerate(lengths):
+        if ln < 1000:  # the source-level minL gate drops these pre-pipeline
+            continue
+        records.extend(SimulatedSource(models, cfg, n_reads=1,
+                                       length=int(ln), seed=5000 + i))
+    # one pass to compile whatever buckets the mix hits, one timed pass
+    _run(records, models, model, params, cfg, batch_size, depth)
+    stats = DetectStats()
+    t0 = time.perf_counter()
+    _run(records, models, model, params, cfg, batch_size, depth, stats)
+    dt = time.perf_counter() - t0
+    total_bp = sum(len(r.basecall) for r in records)
+    return {"n_reads": len(records), "n_below_minL": n_gated,
+            "length_min": int(lengths[lengths >= 1000].min()),
+            "length_median": int(np.median(lengths[lengths >= 1000])),
+            "length_max": int(lengths.max()),
+            "reads_per_s": round(stats.processed / dt, 3),
+            "kbp_per_s": round(total_bp / dt / 1e3, 1)}
+
+
 def main():
+    # Capture-proofing (VERDICT r4 #1): the driver timed out round 4's bench
+    # (26-minute cold warmup + secondary phases overran its ~30-minute window
+    # -> rc=124, no record).  Strategy:
+    #   * print the headline JSON IMMEDIATELY after the timing reps and also
+    #     write it to BENCH_partial.json; the driver parses the last
+    #     parseable line, so an early print survives any later truncation;
+    #   * every later phase (stage breakdown, 50 kb point, mixed-length
+    #     point) is budget-gated and exception-tolerant;
+    #   * re-print the enriched JSON at the end, exit 0 within the budget.
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+    def remaining() -> float:
+        return budget_s - (time.perf_counter() - t_start)
+
     from dnascent_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
     from dnascent_tpu.config import DNA_R10
@@ -360,10 +412,15 @@ def main():
     depth = int(os.environ.get("BENCH_DEPTH", "6"))
 
     # warmup with the *same* shapes as the measured run so every kernel
-    # bucket is compiled (and lands in the persistent cache) before timing
-    _phase(f"warmup: {len(records)} reads x {READ_LEN} bp (compiles kernel "
+    # bucket is compiled (and lands in the persistent cache) before timing.
+    # All reads share one length -> one set of buckets; the first two batches
+    # cover them plus the QC-failure path (reads 5 and 18 are corrupted), so
+    # warming a subset compiles everything the full run needs.  The timed
+    # reps self-warm anything missed (best-of-N discards the warming rep).
+    warm = records[: 2 * batch_size]
+    _phase(f"warmup: {len(warm)} reads x {READ_LEN} bp (compiles kernel "
            "buckets; minutes on a cold compile cache)")
-    _run(records, models, model, params, cfg, batch_size, depth)
+    _run(warm, models, model, params, cfg, batch_size, depth)
     _phase("warmup done; timing")
 
     # best of 3: the tunnel to the chip suffers multi-second stalls
@@ -382,29 +439,9 @@ def main():
             reads_per_s = stats.processed / dt
             qc_fail_rate = stats.failed / max(1, stats.processed)
             transfer = compute.transfer_counters()
-
-    _phase("stage breakdown")
-    stages = _stage_breakdown(records[: 2 * batch_size], models, model,
-                              params, cfg, batch_size)
-
-    # secondary point: long reads (ultra-long handling, SURVEY §7.3 item 3)
-    long_rps = None
-    baseline_long = None
-    if N_LONG:
-        _phase(f"long-read point: {N_LONG} x {LONG_LEN} bp (new buckets; "
-               "compiles on a cold cache)")
-        long_records = list(SimulatedSource(models, cfg, n_reads=N_LONG,
-                                            length=LONG_LEN, seed=77))
-        # batch 8: two+ batches pipeline; a single batch-16 dispatch has
-        # nothing to overlap with (interleaved A/B at 50 kb: 11.7 vs 6.6)
-        lb = max(1, min(8, N_LONG))
-        _run(long_records, models, model, params, cfg, lb, depth)  # warmup
-        stats = DetectStats()
-        t0 = time.perf_counter()
-        _run(long_records, models, model, params, cfg, lb, depth, stats)
-        long_rps = stats.processed / (time.perf_counter() - t0)
-        _phase("measuring 50 kb CPU baseline (cached per host)")
-        baseline_long = measure_baseline_long()
+        if rep == 0 and remaining() < 60:
+            _phase("budget: stopping after one rep")
+            break
 
     out = {
         "metric": "detect_reads_per_s",
@@ -423,22 +460,77 @@ def main():
                             "cnn_f32_1core_per_read_s",
                             "oracle_hotpath_per_read_s") if k in baseline},
         "qc_fail_rate": round(qc_fail_rate, 4),
-        "stage_breakdown_unpipelined": stages,
         "transfer_mb": {k.replace("_bytes", "_mb"):
                         round(v / 1e6, 2) for k, v in transfer.items()},
-        "secondary": ({"read_len": LONG_LEN, "n_reads": N_LONG,
-                       "reads_per_s": round(long_rps, 3),
-                       # fair denominator: the CPU baseline measured at the
-                       # SAME read length (VERDICT r3 weak #3)
-                       "vs_baseline": round(
-                           long_rps / baseline_long["baseline_reads_per_s"],
-                           3),
-                       "baseline_reads_per_s":
-                           baseline_long["baseline_reads_per_s"],
-                       "vs_baseline_at_10kb": round(long_rps / base_rps, 3)}
-                      if long_rps is not None else None),
     }
-    print(json.dumps(out))
+    # headline out FIRST — the official record must survive a driver timeout
+    # during any later phase (the driver parses the last parseable line, so
+    # this line wins exactly when a later phase is truncated)
+    print(json.dumps(out), flush=True)
+    try:
+        json.dump(out, open("BENCH_partial.json", "w"))
+    except OSError:
+        pass
+
+    if remaining() > 120:
+        try:
+            _phase("stage breakdown")
+            out["stage_breakdown_unpipelined"] = _stage_breakdown(
+                records[: 2 * batch_size], models, model, params, cfg,
+                batch_size)
+        except Exception as e:  # diagnostics must not cost the record
+            _phase(f"stage breakdown failed: {e!r}")
+
+    # secondary point: long reads (ultra-long handling, SURVEY §7.3 item 3)
+    if N_LONG and remaining() > 420:
+        try:
+            _phase(f"long-read point: {N_LONG} x {LONG_LEN} bp (new "
+                   "buckets; compiles on a cold cache)")
+            long_records = list(SimulatedSource(models, cfg, n_reads=N_LONG,
+                                                length=LONG_LEN, seed=77))
+            # batch 8: two+ batches pipeline; a single batch-16 dispatch has
+            # nothing to overlap with (interleaved A/B at 50 kb: 11.7 vs 6.6)
+            lb = max(1, min(8, N_LONG))
+            _run(long_records, models, model, params, cfg, lb, depth)
+            stats = DetectStats()
+            t0 = time.perf_counter()
+            _run(long_records, models, model, params, cfg, lb, depth, stats)
+            long_rps = stats.processed / (time.perf_counter() - t0)
+            _phase("measuring 50 kb CPU baseline (cached per host)")
+            baseline_long = measure_baseline_long()
+            out["secondary"] = {
+                "read_len": LONG_LEN, "n_reads": N_LONG,
+                "reads_per_s": round(long_rps, 3),
+                # fair denominator: the CPU baseline measured at the SAME
+                # read length (VERDICT r3 weak #3)
+                "vs_baseline": round(
+                    long_rps / baseline_long["baseline_reads_per_s"], 3),
+                "baseline_reads_per_s":
+                    baseline_long["baseline_reads_per_s"],
+                "vs_baseline_at_10kb": round(long_rps / base_rps, 3)}
+        except Exception as e:
+            _phase(f"long-read point failed: {e!r}")
+    elif N_LONG:
+        out["secondary_skipped"] = "wall-clock budget"
+
+    # mixed-length realism point (VERDICT r4 #8): log-normal read lengths
+    # through the reference's minL=1000 gate, pricing bucket churn/padding
+    if remaining() > 420:
+        try:
+            _phase("mixed-length point (log-normal lengths)")
+            out["mixed"] = _mixed_length_point(models, model, params, cfg,
+                                               batch_size, depth)
+        except Exception as e:
+            _phase(f"mixed-length point failed: {e!r}")
+    else:
+        out["mixed_skipped"] = "wall-clock budget"
+
+    out["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
+    print(json.dumps(out), flush=True)
+    try:
+        json.dump(out, open("BENCH_partial.json", "w"))
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

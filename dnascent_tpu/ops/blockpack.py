@@ -39,6 +39,9 @@ def pack_u8_host(values: np.ndarray, block: int = BLOCK):
     n = v.shape[0]
     if n % block:
         raise ValueError(f"pack_u8_host: n={n} not a multiple of {block}")
+    if 8 * n >= 2 ** 31:  # unpack_u8 computes bit positions in int32
+        raise ValueError(f"pack_u8_host: {n} bytes exceeds the device "
+                         "unpacker's int32 bit-position ceiling (2^31 bits)")
     from .. import native
     if native.available():
         return native.blockpack_u8(v, block)
@@ -72,6 +75,9 @@ def pack_u16_host(values: np.ndarray, block: int = BLOCK):
     n = v.shape[0]
     if n % block:
         raise ValueError(f"pack_u16_host: n={n} not a multiple of {block}")
+    if 16 * n >= 2 ** 31:  # unpack_u16 computes bit positions in int32
+        raise ValueError(f"pack_u16_host: {n} values exceeds the device "
+                         "unpacker's int32 bit-position ceiling (2^31 bits)")
     from .. import native
     if native.available():
         return native.blockpack_u16(v, block)

@@ -414,7 +414,11 @@ def compact_path_codes(pc, n_obs, n_states, sb: int):
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(bound)[:-1]])
     nonpad = (pc & 3) != KIND_PAD
     rank = jnp.cumsum(nonpad.astype(jnp.int32), axis=1) - nonpad
-    idx = jnp.where(nonpad, off[:, None] + rank, sb)     # sb = drop slot
+    # clamp to the per-window bound: if a backtrace ever emitted more codes
+    # than n_obs + n_states + 2 (invariant at :198), overflow must DROP
+    # rather than scatter into the next window's region
+    keep = nonpad & (rank < bound[:, None])
+    idx = jnp.where(keep, off[:, None] + rank, sb)       # sb = drop slot
     out = jnp.full((sb,), KIND_PAD, jnp.uint8)
     out = out.at[idx.reshape(-1)].set(pc.reshape(-1), mode="drop")
     return pack_path_codes(out[None, :])[0]
