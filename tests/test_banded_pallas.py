@@ -242,6 +242,87 @@ def test_sharded_lean_fill_and_chase_match_single(models, rng):
     np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
 
+def test_sharded_general_codes_fill_matches_single(models, rng):
+    """The general (per-kmer-stdv) codes sharded fill — the mesh path for
+    non-static-stdv models — must equal its single-device wrapper bitwise
+    (interpret mode, 8-device mesh)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from dnascent_tpu.ops import banded_pallas as bp
+    from dnascent_tpu.parallel import compute
+
+    mesh = compute.make_data_mesh(8)
+    B, E, K = 8, 160, 160
+    ev = rng.normal(90, 10, size=(B, E)).astype(np.float32)
+    codes = rng.integers(0, 4, size=(B, K + 8)).astype(np.uint8)
+    n_ev = np.full(B, E - 40, np.int32)
+    n_km = np.full(B, K - 40, np.int32)
+    tbl = jnp.asarray(models.pore_model)
+    with pltpu.force_tpu_interpret_mode():
+        a = bp.banded_fill_pallas_from_codes_jit(
+            jnp.asarray(ev), jnp.asarray(codes), tbl, jnp.asarray(n_ev),
+            jnp.asarray(n_km))
+        b = bp.banded_fill_pallas_from_codes_sharded(
+            mesh, jnp.asarray(ev), jnp.asarray(codes), tbl,
+            jnp.asarray(n_ev), jnp.asarray(n_km))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_prep_dispatch_takes_sharded_pallas_on_mesh(models, monkeypatch):
+    """Selection-logic check (VERDICT r4 weak #3): on a non-CPU backend with
+    an active compute mesh, prepare_reads must route the fill through the
+    SHARDED Pallas wrappers (prep.py use_pallas_fill + mesh dispatch) and
+    the chase through backtrace_moves_pallas_sharded — and the resulting
+    event alignments must equal the unsharded Pallas path bitwise.  Run on
+    CPU by faking the backend and forcing interpret mode."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from dnascent_tpu.config import DNA_R10
+    from dnascent_tpu.ops import banded_pallas as bp
+    from dnascent_tpu.parallel import compute
+    from dnascent_tpu.pipeline.prep import prepare_reads
+    from dnascent_tpu.pipeline.source import SimulatedSource
+
+    calls = []
+
+    def record(name, fn):
+        def wrapper(*a, **kw):
+            calls.append(name)
+            with pltpu.force_tpu_interpret_mode():
+                return fn(*a, **kw)
+        return wrapper
+
+    for name in ("banded_fill_pallas_lean_from_packed_sharded",
+                 "banded_fill_pallas_lean_from_packed_jit",
+                 "backtrace_moves_pallas_sharded",
+                 "backtrace_moves_pallas_jit"):
+        monkeypatch.setattr(bp, name, record(name, getattr(bp, name)))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def run(mesh):
+        compute.set_compute_mesh(mesh)
+        try:
+            records = list(SimulatedSource(models, DNA_R10, n_reads=4,
+                                           length=500, seed=31))
+            prepped = prepare_reads(records, models, DNA_R10)
+            return {p.record.read_id: p.event_alignment for p in prepped
+                    if p.event_alignment is not None}
+        finally:
+            compute.set_compute_mesh(None)
+
+    sharded = run(compute.make_data_mesh(8))
+    assert "banded_fill_pallas_lean_from_packed_sharded" in calls
+    assert "backtrace_moves_pallas_sharded" in calls
+    assert "banded_fill_pallas_lean_from_packed_jit" not in calls
+    calls.clear()
+    single = run(None)
+    assert "banded_fill_pallas_lean_from_packed_jit" in calls
+    assert "banded_fill_pallas_lean_from_packed_sharded" not in calls
+    assert sharded.keys() == single.keys() and sharded
+    for rid in sharded:
+        np.testing.assert_array_equal(sharded[rid], single[rid])
+
+
 def test_lean_hbm_stream_matches_vmem(models, rng):
     """The HBM-streaming refill variant (used beyond the VMEM-resident
     budget — ultra-long reads) must equal the VMEM-resident lean kernel
