@@ -328,7 +328,7 @@ def _mixed_length_point(models, model, params, cfg, batch_size, depth):
 
     n = int(os.environ.get("BENCH_MIXED_READS", "48"))
     rng = np.random.default_rng(7)
-    lengths = np.exp(rng.normal(np.log(8000.0), 0.55, size=n))
+    lengths = np.exp(rng.normal(np.log(6000.0), 1.0, size=n))
     lengths = np.clip(lengths, 400, 45000).astype(int)
     n_gated = int((lengths < 1000).sum())
     records = []
