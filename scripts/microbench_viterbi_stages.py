@@ -19,7 +19,7 @@ hmm_probs = tuple(getattr(hmm, k) for k in HMM_KEY)
 rng = np.random.default_rng(0)
 
 W, T, N = (int(x) for x in (sys.argv[1:4] + ["2048", "192", "48"][len(sys.argv)-1:]))
-REPS = 5
+REPS = 20
 
 obs = jnp.asarray(rng.normal(0, 1, (W, T)).astype(np.float32))
 mu = jnp.asarray(rng.normal(90, 10, (W, N)).astype(np.float32))
@@ -36,16 +36,23 @@ eOrIM2M = jnp.logaddexp(eM2M, jnp.float32(np.log(eM2D_f)))
 hmm_logs = tuple(float(np.log(v)) for v in hmm_probs)
 
 
+def _sync(out):
+    # real sync: download one element of the SMALLEST leaf
+    # (block_until_ready can be a no-op through the axon plugin)
+    leaves = jax.tree_util.tree_leaves(out)
+    smallest = min(leaves,
+                   key=lambda a: int(np.prod(a.shape)) * a.dtype.itemsize)
+    return np.asarray(smallest).ravel()[:1]
+
+
 def bench(tag, fn, *args):
-    out = fn(*args)
-    jax.tree_util.tree_leaves(out)[-1].block_until_ready()
-    ts = []
+    _sync(fn(*args))
+    t0 = time.perf_counter()
     for _ in range(REPS):
-        t0 = time.perf_counter()
         out = fn(*args)
-        jax.tree_util.tree_leaves(out)[-1].block_until_ready()
-        ts.append(time.perf_counter() - t0)
-    print(f"{tag:34s} {1000*min(ts):8.2f} ms", flush=True)
+    _sync(out)
+    dt = (time.perf_counter() - t0) / REPS
+    print(f"{tag:34s} {1000*dt:8.2f} ms", flush=True)
 
 
 obs_T = obs.T

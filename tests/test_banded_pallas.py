@@ -299,12 +299,20 @@ def test_prep_dispatch_takes_sharded_pallas_on_mesh(models, monkeypatch):
         monkeypatch.setattr(bp, name, record(name, getattr(bp, name)))
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
+    # tiny reads + a lowered cleaned-events QC gate: interpret-mode grids
+    # scale with the band count, and one XLA execution cannot be
+    # interrupted, so the shapes must stay small for CI
+    import dataclasses
+    cfg = dataclasses.replace(
+        DNA_R10, banded=dataclasses.replace(DNA_R10.banded,
+                                            min_cleaned_events=60))
+
     def run(mesh):
         compute.set_compute_mesh(mesh)
         try:
-            records = list(SimulatedSource(models, DNA_R10, n_reads=4,
-                                           length=500, seed=31))
-            prepped = prepare_reads(records, models, DNA_R10)
+            records = list(SimulatedSource(models, cfg, n_reads=2,
+                                           length=220, seed=31))
+            prepped = prepare_reads(records, models, cfg)
             return {p.record.read_id: p.event_alignment for p in prepped
                     if p.event_alignment is not None}
         finally:
