@@ -272,47 +272,69 @@ def test_prep_dispatch_takes_sharded_pallas_on_mesh(models, monkeypatch):
     """Selection-logic check (VERDICT r4 weak #3): on a non-CPU backend with
     an active compute mesh, prepare_reads must route the fill through the
     SHARDED Pallas wrappers (prep.py use_pallas_fill + mesh dispatch) and
-    the chase through backtrace_moves_pallas_sharded — and the resulting
-    event alignments must equal the unsharded Pallas path bitwise.  Run on
-    CPU by faking the backend and forcing interpret mode."""
+    the chase through backtrace_moves_pallas_sharded, and the mesh run's
+    event alignments must equal the unsharded run's bitwise.
+
+    The sharded Pallas kernels themselves are executed and bitwise-tested
+    in test_sharded_lean_fill_and_chase_match_single (interpret mode); an
+    interpret-mode run of this FULL pipeline takes minutes of
+    uninterruptible XLA execution, so here the recorded wrappers delegate
+    to the XLA-scan twins (same packed trace layout, see
+    test_pallas_lean_matches_scan_kernel) — the test pins prep's backend/
+    mesh dispatch and the mesh-padding glue, fast enough for CI."""
     import jax
-    from jax.experimental.pallas import tpu as pltpu
     from dnascent_tpu.config import DNA_R10
-    from dnascent_tpu.ops import banded_pallas as bp
+    from dnascent_tpu.ops import banded, banded_pallas as bp
+    from dnascent_tpu.ops.seqcodes import codes_from_packed
     from dnascent_tpu.parallel import compute
     from dnascent_tpu.pipeline.prep import prepare_reads
     from dnascent_tpu.pipeline.source import SimulatedSource
 
     calls = []
 
-    def record(name, fn):
+    def fill_stub(name):
         def wrapper(*a, **kw):
             calls.append(name)
-            with pltpu.force_tpu_interpret_mode():
-                return fn(*a, **kw)
+            if name.endswith("_sharded"):
+                _mesh, scaled, packed, badmap, table, n_ev, n_km = a
+            else:
+                scaled, packed, badmap, table, n_ev, n_km = a
+            codes = codes_from_packed(packed, badmap, kw["n_codes"])
+            mu = bp._lean_mu_from_codes(codes, table)
+            inv = jnp.full(mu.shape, kw["inv_sigma"], jnp.float32)
+            lpc = jnp.where(jnp.isinf(mu), -jnp.inf,
+                            jnp.float32(kw["lp_const"]))
+            mu_f = jnp.where(jnp.isinf(mu), 0.0, mu)
+            return banded.banded_fill_jit(
+                scaled.astype(jnp.float32), mu_f, inv, lpc, n_ev, n_km,
+                bandwidth=kw["bandwidth"],
+                epsilon_skip=kw["epsilon_skip"], p_trim=kw["p_trim"])
+        return wrapper
+
+    def chase_stub(name):
+        def wrapper(*a, **kw):
+            calls.append(name)
+            if name.endswith("_sharded"):
+                _mesh, tp, rp, best_e, n_km = a
+            else:
+                tp, rp, best_e, n_km = a
+            return banded.backtrace_moves_device(tp, rp, best_e, n_km, **kw)
         return wrapper
 
     for name in ("banded_fill_pallas_lean_from_packed_sharded",
-                 "banded_fill_pallas_lean_from_packed_jit",
-                 "backtrace_moves_pallas_sharded",
+                 "banded_fill_pallas_lean_from_packed_jit"):
+        monkeypatch.setattr(bp, name, fill_stub(name))
+    for name in ("backtrace_moves_pallas_sharded",
                  "backtrace_moves_pallas_jit"):
-        monkeypatch.setattr(bp, name, record(name, getattr(bp, name)))
+        monkeypatch.setattr(bp, name, chase_stub(name))
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-
-    # tiny reads + a lowered cleaned-events QC gate: interpret-mode grids
-    # scale with the band count, and one XLA execution cannot be
-    # interrupted, so the shapes must stay small for CI
-    import dataclasses
-    cfg = dataclasses.replace(
-        DNA_R10, banded=dataclasses.replace(DNA_R10.banded,
-                                            min_cleaned_events=60))
 
     def run(mesh):
         compute.set_compute_mesh(mesh)
         try:
-            records = list(SimulatedSource(models, cfg, n_reads=2,
-                                           length=220, seed=31))
-            prepped = prepare_reads(records, models, cfg)
+            records = list(SimulatedSource(models, DNA_R10, n_reads=4,
+                                           length=1500, seed=31))
+            prepped = prepare_reads(records, models, DNA_R10)
             return {p.record.read_id: p.event_alignment for p in prepped
                     if p.event_alignment is not None}
         finally:
