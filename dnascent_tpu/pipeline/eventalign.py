@@ -103,6 +103,13 @@ class _ReadState:
     flat_obs_base: int = -1
     rank_off: int = -1          # per-call flat-rank offset (when built here)
     spec: int = 8               # strict mode: adaptive speculation depth
+    # strict mode: the read's guarded pair stream, precomputed so every
+    # window is a contiguous slice (the guard filter commutes with pair
+    # slicing) and rounds ship only i32 offsets instead of (W, T) f32
+    # obs planes (see run_eventalign's strict branch)
+    strict_jg: Optional[np.ndarray] = None    # (n_pairs+1,) cum guard count
+    strict_g_ev: Optional[np.ndarray] = None  # guarded event ids
+    strict_gmeans: Optional[np.ndarray] = None  # guarded scaled means f32
 
 
 @dataclass
@@ -184,6 +191,27 @@ def _window_at(st: _ReadState, ri: int, cfg: SubstrateConfig, t_cap: int,
     if j1 <= j0:
         return None, wl
     first_inrange = int(j0)
+    flat_local = -1
+    if st.strict_jg is not None:
+        # guarded stream precomputed: the window is the contiguous slice
+        # [jg[j0], jg[j1]) of it — identical ev_ids/means to the inline
+        # filter below, plus a flat offset the dispatcher can ship
+        J0 = int(st.strict_jg[j0])
+        J1 = int(st.strict_jg[j1])
+        if J1 - J0 < 2:
+            return None, wl
+        nT = min(J1 - J0, t_cap)   # safety clip for pathological windows
+        ev_ids = st.strict_g_ev[J0 : J0 + nT]
+        means = st.strict_gmeans[J0 : J0 + nT]
+        flat_local = J0
+        if p.record.is_reverse:
+            ref_coord = p.record.ref_end - ri - k // 2
+        else:
+            ref_coord = p.record.ref_start + ri + k // 2
+        query_span = int(hi - lo)
+        return _Window(st, ri, wl, means, ev_ids, first_inrange,
+                       query_span - (wl - k + 1), ref_coord,
+                       flat_local=flat_local), 0
     ev_ids = pairs[j0:j1, 0]
     means = ev_mean[ev_ids]
     guard = (means > dmin) & (means < dmax)
@@ -973,6 +1001,32 @@ def _viterbi_windows_collect(handle) -> list[tuple[np.ndarray, np.ndarray]]:
             for i in range(n)]
 
 
+def _batch_flat_ranks(states: list["_ReadState"]):
+    """Resident flat rank array for a batch: reuse prep's shared device
+    array when every read points at the same one, else build + upload one
+    per-call array of SAFE (N->0) ranks.  Sets ``st.rank_off`` on every
+    state; window rank starts are then ``st.rank_off + ref_index``."""
+    shared = states[0].p.flat_ranks_device if states else None
+    uniform = shared is not None and all(
+        st.p.flat_ranks_device is shared for st in states)
+    if uniform:
+        for st in states:
+            st.rank_off = st.p.flat_ranks_offset
+        return shared
+    parts = []
+    off = 0
+    for st in states:
+        safe = np.where(st.p.kmer_ranks_ref < 0, 0,
+                        st.p.kmer_ranks_ref).astype(np.int32)
+        st.rank_off = off
+        parts.append(safe)
+        off += safe.shape[0]
+    rk_flat = np.zeros(_bucket_up(off, 1 << 16), dtype=np.int32)
+    if parts:
+        rk_flat[:off] = np.concatenate(parts)
+    return compute.put_rep(rk_flat)
+
+
 def _viterbi_windows(windows: list[_Window], models: PoreModelSet,
                      cfg: SubstrateConfig, hmm_probs, n_state_pad: int,
                      t_buckets,
@@ -1046,6 +1100,40 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                                                 "64")))
         k = cfg.kmer_len
         active = [s for s in states if not s.exhausted]
+        # Upload-lean rounds (VERDICT r4 #7): every strict window is a
+        # contiguous slice of its read's GUARDED pair stream (the
+        # event-mean guard depends only on the event, so filtering commutes
+        # with pair slicing).  Precompute the guarded streams, upload ONE
+        # f32 batch-flat obs array, and each round ships only i32
+        # offset/length vectors through the fast path's flat dispatcher —
+        # the old path re-uploaded (W, T) f32 obs planes every round
+        # (~375 KB/read over the wavefront at bench shapes, >2x the rest
+        # of the pipeline's h2d combined).
+        strict_flat_dev = None
+        ranks_flat_dev = None
+        if active and _os.environ.get("DNASCENT_STRICT_FLAT", "1") != "0":
+            dmin = cfg.detect.event_mean_min
+            dmax = cfg.detect.event_mean_max
+            parts = []
+            base = 0
+            for st in active:
+                pp = st.p
+                pr = pp.event_alignment
+                means_all = pp.event_mean[pr[:, 0]]
+                guard = (means_all > dmin) & (means_all < dmax)
+                st.strict_jg = np.concatenate(
+                    [[0], np.cumsum(guard)]).astype(np.int64)
+                st.strict_g_ev = pr[guard, 0]
+                st.strict_gmeans = ((means_all[guard] - pp.shift) / pp.scale
+                                    ).astype(np.float32)
+                st.flat_obs_base = base
+                parts.append(st.strict_gmeans)
+                base += st.strict_gmeans.shape[0]
+            obs_flat = np.zeros(_bucket_up(base, 1 << 17), np.float32)
+            if parts:
+                obs_flat[:base] = np.concatenate(parts)
+            strict_flat_dev = compute.put_rep(obs_flat)
+            ranks_flat_dev = _batch_flat_ranks(active)
         # committed windows + paths per read; the heavy position
         # materialisation runs ONCE per read at the end through the batched
         # (native) fast-mode post-processing — per-window work inside the
@@ -1078,9 +1166,32 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
                     st.exhausted = True
             if not windows:
                 break
-            results = _viterbi_windows(windows, models, cfg, hmm_probs,
-                                       n_state_pad, t_buckets,
-                                       obs_dtype=np.float32)
+            if strict_flat_dev is not None:
+                nw = len(windows)
+                lens = np.fromiter((w.obs_scaled.shape[0] for w in windows),
+                                   np.int64, nw)
+                ostarts = np.fromiter(
+                    (w.state.flat_obs_base + w.flat_local for w in windows),
+                    np.int64, nw)
+                rstarts = np.fromiter(
+                    (w.state.rank_off + w.ref_index for w in windows),
+                    np.int64, nw)
+                ns_arr = np.fromiter(
+                    (w.window_length - k + 1 for w in windows), np.int64, nw)
+                epb = np.fromiter(
+                    (w.state.p.events_per_base for w in windows),
+                    np.float64, nw)
+                ns_pad = (min(48, n_state_pad) if int(ns_arr.max()) <= 48
+                          else n_state_pad)
+                results = _viterbi_windows_collect(
+                    _viterbi_dispatch_flat_arrays(
+                        lens, ostarts, rstarts, ns_arr, epb,
+                        strict_flat_dev, ranks_flat_dev, models, cfg,
+                        hmm_probs, ns_pad, t_buckets))
+            else:
+                results = _viterbi_windows(windows, models, cfg, hmm_probs,
+                                           n_state_pad, t_buckets,
+                                           obs_dtype=np.float32)
             pos = 0
             for st, chain in chains:
                 ok = True
@@ -1217,26 +1328,7 @@ def run_eventalign(prepped: list[PreparedRead], models: PoreModelSet,
 
         # rank side: reuse prep's resident flat array when the whole batch
         # shares it, else build one per call
-        shared = states[0].p.flat_ranks_device if states else None
-        uniform = shared is not None and all(
-            st.p.flat_ranks_device is shared for st in states)
-        if uniform:
-            ranks_flat_dev = shared
-            for st in states:
-                st.rank_off = st.p.flat_ranks_offset
-        else:
-            parts = []
-            off = 0
-            for st in states:
-                safe = np.where(st.p.kmer_ranks_ref < 0, 0,
-                                st.p.kmer_ranks_ref).astype(np.int32)
-                st.rank_off = off
-                parts.append(safe)
-                off += safe.shape[0]
-            rk_flat = np.zeros(_bucket_up(off, 1 << 16), dtype=np.int32)
-            if parts:
-                rk_flat[:off] = np.concatenate(parts)
-            ranks_flat_dev = compute.put_rep(rk_flat)
+        ranks_flat_dev = _batch_flat_ranks(states)
 
         # per-window global arrays — all vector ops, no per-window Python
         if sets:

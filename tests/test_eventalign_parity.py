@@ -133,3 +133,32 @@ def test_strict_mode_matches_oracle_eventalign(models, reverse):
                                        rtol=1e-5)
         checked += 1
     assert checked >= 1
+
+
+def test_strict_flat_rounds_match_plane_rounds(models, monkeypatch):
+    """The upload-lean strict dispatch (batch-flat f32 obs + offset-only
+    rounds, DNASCENT_STRICT_FLAT=1 default) must reproduce the plane-upload
+    dispatch's AlignedPositions exactly — it reorganises transfers, not
+    math."""
+    cfg = DNA_R10
+    src = list(SimulatedSource(models, cfg, n_reads=3, length=1800,
+                               seed=77))
+    prepped = prepare_reads(src, models, cfg)
+
+    def run(flag):
+        monkeypatch.setenv("DNASCENT_STRICT_FLAT", flag)
+        res = run_eventalign(prepped, models, cfg, strict=True)
+        out = {}
+        for rid, r in res.items():
+            if r.positions is not None:
+                out[rid] = (r.positions.coord.copy(),
+                            r.positions.kmer_start.copy(),
+                            r.positions.n_signals.copy())
+        return out
+
+    flat = run("1")
+    plane = run("0")
+    assert flat.keys() == plane.keys() and flat
+    for rid in flat:
+        for a, b in zip(flat[rid], plane[rid]):
+            np.testing.assert_array_equal(a, b)

@@ -65,6 +65,37 @@ def test_gru_masking_semantics():
     np.testing.assert_array_equal(h_full, h_short)
 
 
+def test_gru_pallas_matches_scan():
+    """The VMEM-resident pallas encoder must reproduce the XLA scan's final
+    hidden state (f32-rounding tolerance — the MXU orders the 16-term dot
+    products differently).  Rows containing the one u8 code whose dequant
+    straddles exactly 0.0 are excluded: whether it masks is a
+    device-division-semantics question (see _gru_pallas_kernel docstring)
+    and interpret mode mimics the TPU reciprocal while the scan reference
+    here runs host division."""
+    from jax.experimental.pallas import tpu as pltpu
+    from dnascent_tpu.models.cnn import SIG_QUANT_SCALE, SIG_QUANT_LO
+
+    params = rc.params_from_tensors(rc.synthetic_tensors(0))
+    rng = np.random.default_rng(5)
+    n = 512
+    xq = rng.integers(0, 256, (n, rc.RAWDEPTH)).astype(np.uint8)
+    xq[:32, 7:] = 0   # padded tails
+    q = xq.astype(np.float32)
+    x = np.where(q == 0, 0.0,
+                 (q - 1.0) / SIG_QUANT_SCALE + SIG_QUANT_LO
+                 ).astype(np.float32)
+    ambiguous = ((x == 0) & (q != 0)).any(axis=1)
+    a = np.asarray(rc._gru_scan(jnp.asarray(x), jnp.asarray(x != 0),
+                                params["gru0"], params["gru1"]))
+    with pltpu.force_tpu_interpret_mode():
+        b = np.asarray(rc._gru_scan_pallas(jnp.asarray(xq),
+                                           params["gru0"], params["gru1"]))
+    keep = ~ambiguous
+    assert keep.sum() > 400
+    np.testing.assert_allclose(a[keep], b[keep], atol=2e-5)
+
+
 def test_savedmodel_bundle_roundtrip(tmp_path):
     """Fabricated SavedModel dir -> architecture check -> tensor load ->
     forward (writer and reader are independent implementations of the TF
