@@ -77,6 +77,15 @@ def test_golden_detect(dataset, tmp_path, monkeypatch):
     _check("fixture.detect", out)
 
 
+def test_golden_detect_hmm(dataset, tmp_path, monkeypatch):
+    monkeypatch.setenv("DNASCENT_TPU_MODELS", "/nonexistent")
+    out = os.path.join(tmp_path, "hmm.detect")
+    rc = cli.main(["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
+                   "-i", dataset.index, "-o", out, "-l", "1000", "--HMM"])
+    assert rc == 0
+    _check("fixture.hmm.detect", out)
+
+
 def test_golden_align(dataset, tmp_path, monkeypatch):
     monkeypatch.setenv("DNASCENT_TPU_MODELS", "/nonexistent")
     out = os.path.join(tmp_path, "out.align")
