@@ -110,6 +110,7 @@ class _ReadState:
     strict_jg: Optional[np.ndarray] = None    # (n_pairs+1,) cum guard count
     strict_g_ev: Optional[np.ndarray] = None  # guarded event ids
     strict_gmeans: Optional[np.ndarray] = None  # guarded scaled means f32
+    bp_mask: Optional[np.ndarray] = None      # breakpoint positions (lazy)
 
 
 @dataclass
@@ -171,13 +172,19 @@ def _window_at(st: _ReadState, ri: int, cfg: SubstrateConfig, t_cap: int,
         if not st.defined[ri : ri + snip_len].all():
             return None, wl
         limit = int(1.5 * wl - k - 1)
-        m = st.mean_ref
-        for i in range(wl, limit):
-            g1 = abs(m[ri + i] - m[ri + i + 1])
-            g2 = abs(m[ri + i] - m[ri + i - 1])
-            if g1 > 0.75 and g2 > 0.75:
-                wl = i + k
-                break
+        if st.bp_mask is None:
+            # both-gaps-above-0.75 positions, precomputed once per read —
+            # the per-window python scan dominated the strict wavefront's
+            # host time (~100 iterations x thousands of windows)
+            m = st.mean_ref
+            d1 = np.abs(np.diff(m))           # d1[i] = |m[i] - m[i+1]|
+            bp = np.zeros(m.shape[0], bool)
+            if m.shape[0] > 2:
+                bp[1:-1] = (d1[1:] > 0.75) & (d1[:-1] > 0.75)
+            st.bp_mask = bp
+        hit = np.nonzero(st.bp_mask[ri + wl : ri + limit])[0]
+        if hit.shape[0]:
+            wl = wl + int(hit[0]) + k
 
     if not st.defined[ri : ri + wl].all():
         return None, wl
