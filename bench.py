@@ -428,7 +428,7 @@ def main():
     reads_per_s = 0.0
     qc_fail_rate = 0.0
     transfer = {}
-    for rep in range(int(os.environ.get("BENCH_REPS", "3"))):
+    for rep in range(int(os.environ.get("BENCH_REPS", "5"))):
         stats = DetectStats()
         compute.reset_transfer_counters()
         t0 = time.perf_counter()
