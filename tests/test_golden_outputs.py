@@ -95,6 +95,21 @@ def test_golden_align(dataset, tmp_path, monkeypatch):
     _check("fixture.align", out)
 
 
+def test_golden_align_then_traingmm(dataset, tmp_path, monkeypatch):
+    """align -> trainGMM chain: the fitted 6mer model table is the
+    product-level output of the GMM trainer (deterministic batched EM)."""
+    monkeypatch.setenv("DNASCENT_TPU_MODELS", "/nonexistent")
+    align_out = os.path.join(tmp_path, "gmm.align")
+    rc = cli.main(["align", "-b", dataset.bam, "-r", dataset.reference_fa,
+                   "-i", dataset.index, "-o", align_out, "-l", "100"])
+    assert rc == 0
+    model_out = os.path.join(tmp_path, "fit.model")
+    rc = cli.main(["trainGMM", "-d", align_out, "-o", model_out,
+                   "-e", "10000"])
+    assert rc == 0
+    _check("fixture.trainGMM.model", model_out)
+
+
 @pytest.fixture(scope="module")
 def fork_outputs(tmp_path_factory, models):
     """forkSense + seeBreaks over the deterministic synthetic fork set (the
