@@ -264,3 +264,38 @@ def test_obs_build_packed_matches_u8():
                               jnp.asarray(sb), jnp.asarray(av),
                               jnp.asarray(bv))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mixed_length_batch_matches_per_read(models, small_model):
+    """Bucket churn correctness: a single detect pass over mixed-length
+    reads (three different length buckets in one batch) must reproduce each
+    read's solo-run output bitwise — padding rows and bucket grouping carry
+    no information (CPU backend, where CNN chunk equality is bitwise)."""
+    from dnascent_tpu.config import DNA_R10
+    from dnascent_tpu.pipeline.detect import detect_reads
+    from dnascent_tpu.pipeline.source import SimulatedSource
+
+    model, params = small_model
+    records = []
+    for i, ln in enumerate((1500, 2600, 4000)):
+        # seeds 100 apart: SimulatedSource derives read ids from seed+index,
+        # so close seeds would collide ids across the sub-sources
+        records.extend(SimulatedSource(models, DNA_R10, n_reads=2,
+                                       length=ln, seed=60 + 100 * i))
+    mixed = {rid: (d.ref_coords.copy(), d.edu_prob.copy(),
+                   d.brdu_prob.copy())
+             for rid, d in detect_reads(records, models, model, params,
+                                        DNA_R10, batch_size=6)
+             if d is not None}
+    assert len(mixed) >= 5
+    for rec in records:
+        solo = {rid: (d.ref_coords.copy(), d.edu_prob.copy(),
+                      d.brdu_prob.copy())
+                for rid, d in detect_reads([rec], models, model, params,
+                                           DNA_R10, batch_size=1)
+                if d is not None}
+        if rec.read_id not in mixed:
+            assert rec.read_id not in solo
+            continue
+        for a, b in zip(mixed[rec.read_id], solo[rec.read_id]):
+            np.testing.assert_array_equal(a, b)
