@@ -77,6 +77,27 @@ def test_golden_detect(dataset, tmp_path, monkeypatch):
     _check("fixture.detect", out)
 
 
+def test_golden_detect_modbam(dataset, tmp_path, monkeypatch):
+    """The modbam output path: full binary BAM bytes (BGZF has no
+    timestamps, the writer is deterministic — verified before adding)."""
+    monkeypatch.setenv("DNASCENT_TPU_MODELS", "/nonexistent")
+    out = os.path.join(tmp_path, "out.bam")
+    rc = cli.main(["detect", "-b", dataset.bam, "-r", dataset.reference_fa,
+                   "-i", dataset.index, "-o", out, "-l", "1000",
+                   "--allow-untrained-cnn"])
+    assert rc == 0
+    got = open(out, "rb").read()
+    gold = os.path.join(GOLDEN_DIR, "fixture.detect.bam")
+    if REFRESH:
+        open(gold, "wb").write(got)
+        return
+    assert os.path.exists(gold), "missing fixture.detect.bam golden"
+    want = open(gold, "rb").read()
+    assert got == want, (
+        "modbam bytes drifted from tests/goldens/fixture.detect.bam — "
+        "refresh with DNASCENT_REFRESH_GOLDENS=1 if intended")
+
+
 def test_golden_detect_hmm(dataset, tmp_path, monkeypatch):
     monkeypatch.setenv("DNASCENT_TPU_MODELS", "/nonexistent")
     out = os.path.join(tmp_path, "hmm.detect")
