@@ -405,12 +405,12 @@ def main():
         if i % 13 == 5:
             r.raw = _rng.normal(90.0, 30.0, size=r.raw.shape).astype(
                 r.raw.dtype)
-    # batch 32 / fill cap 32 / depth 4: after the r5 kernel cuts this
+    # batch 32 / fill cap 32 / depth 6: after the r5 kernel cuts this
     # consistently edges out r4's 16/6 in interleaved same-process A/B
     # (scripts/ab_batch.py: 62.6/60.4/66.5 vs 60.2/58.8/65.8 reads/s) —
     # better device economics now outweigh the finer transfer overlap
     batch_size = int(os.environ.get("BENCH_BATCH", str(min(32, N_READS))))
-    depth = int(os.environ.get("BENCH_DEPTH", "4"))
+    depth = int(os.environ.get("BENCH_DEPTH", "6"))
     if batch_size > 16:
         os.environ.setdefault("DNASCENT_MAX_FILL_B", str(batch_size))
 
