@@ -405,12 +405,13 @@ def main():
         if i % 13 == 5:
             r.raw = _rng.normal(90.0, 30.0, size=r.raw.shape).astype(
                 r.raw.dtype)
-    # batch 32 / fill cap 32 / depth 6: after the r5 kernel cuts this
+    # batch 32 / fill cap 32 / depth 10: after the r5 kernel cuts this
     # consistently edges out r4's 16/6 in interleaved same-process A/B
-    # (scripts/ab_batch.py: 62.6/60.4/66.5 vs 60.2/58.8/65.8 reads/s) —
+    # (scripts/ab_batch.py: 62.6/60.4/66.5 vs 60.2/58.8/65.8 reads/s;
+    # depth sweep 4<6<10>16: 59.7/68.0 vs 57.9/63.9, 70.3 vs 65.7) —
     # better device economics now outweigh the finer transfer overlap
     batch_size = int(os.environ.get("BENCH_BATCH", str(min(32, N_READS))))
-    depth = int(os.environ.get("BENCH_DEPTH", "6"))
+    depth = int(os.environ.get("BENCH_DEPTH", "10"))
     if batch_size > 16:
         os.environ.setdefault("DNASCENT_MAX_FILL_B", str(batch_size))
 
