@@ -432,9 +432,9 @@ def collect_calls(rec: ReadRecord, pos: AlignedPositions,
 
 def detect_reads(records: Iterable[ReadRecord], models: PoreModelSet,
                  model=None, params=None, cfg: SubstrateConfig = DNA_R10,
-                 batch_size: int = 16, stats: Optional[DetectStats] = None,
+                 batch_size: int = 32, stats: Optional[DetectStats] = None,
                  collect_failures: bool = False, strict_windows: bool = False,
-                 pipeline_depth: int = 4, timer=None):
+                 pipeline_depth: int = 10, timer=None):
     """Generator over DetectedRead results, processing in read batches.
 
     Batches are software-pipelined ``pipeline_depth`` deep across worker

@@ -194,7 +194,7 @@ def prepare_reads(records: list[ReadRecord], models: PoreModelSet,
     # the lean kernel covers reads to ~163 kb (general: ~85 kb) before the
     # XLA-scan fallback kicks in.
     import os as _os
-    _raw_cap = int(_os.environ.get("DNASCENT_MAX_FILL_B", "16"))
+    _raw_cap = int(_os.environ.get("DNASCENT_MAX_FILL_B", "32"))
     # normalise: the Pallas batch logic needs a multiple of 8 with an 8-row
     # floor; silently odd values would force the slow XLA fill
     MAX_FILL_B = max(8, (_raw_cap // 8) * 8)
