@@ -131,6 +131,19 @@ def test_golden_align_then_traingmm(dataset, tmp_path, monkeypatch):
     _check("fixture.trainGMM.model", model_out)
 
 
+def test_golden_traincnn_table(dataset, tmp_path, monkeypatch):
+    """trainCNN annotated table: the double-eventalign flow with per-coord
+    call columns — the one emitter path (calls-aware _process_window) the
+    other goldens do not reach."""
+    monkeypatch.setenv("DNASCENT_TPU_MODELS", "/nonexistent")
+    out = os.path.join(tmp_path, "out.trainCNN")
+    rc = cli.main(["trainCNN", "-b", dataset.bam, "-r", dataset.reference_fa,
+                   "-i", dataset.index, "-o", out, "-l", "100",
+                   "--allow-untrained-cnn"])
+    assert rc == 0
+    _check("fixture.trainCNN", out)
+
+
 @pytest.fixture(scope="module")
 def fork_outputs(tmp_path_factory, models):
     """forkSense + seeBreaks over the deterministic synthetic fork set (the
