@@ -444,6 +444,11 @@ def detect_reads(records: Iterable[ReadRecord], models: PoreModelSet,
     k±1's host numpy hides most of both.  Output order is preserved (results
     are consumed in batch submission order), matching the reference's
     buffered OpenMP loop + ordered writer (detect.cpp:852-906).
+
+    Defaults (batch 32, depth 10) are the interleaved-A/B winners at 10 kb
+    reads; host memory in flight scales as batch_size x depth x raw bytes
+    (~50 MB at 10 kb, ~3 GB at 1 Mb reads) — drop both for ultra-long
+    datasets on small hosts.
     """
     if model is None:
         model = cnn_mod.create_model()
