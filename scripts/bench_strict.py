@@ -24,8 +24,8 @@ def run(records, models, model, params, strict, reps=2):
         stats = DetectStats()
         t0 = time.perf_counter()
         n = sum(1 for _ in detect_reads(
-            records, models, model, params, DNA_R10, batch_size=16,
-            stats=stats, strict_windows=strict, pipeline_depth=4))
+            records, models, model, params, DNA_R10,
+            stats=stats, strict_windows=strict))
         dt = time.perf_counter() - t0
         best = max(best, stats.processed / dt)
     return best, n
