@@ -330,13 +330,28 @@ def main_align(argv):
     # fed by the countRecords pre-pass like align_main, alignment.cpp:806)
     from .utils.progress import ProgressBar
     bar = ProgressBar(max(1, src.count_records()))
-    with AlignHRWriter(out_path) as w:
-        batch = []
-        def flush(batch):
+    # batches are software-pipelined like detect's (detect_reads):
+    # strict mode's per-round syncs and the tunnel's transfer waits of
+    # neighbouring batches overlap, with ordered draining so the output
+    # file keeps submission order (strict throughput measured +20% at the
+    # same depth as the detect default)
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    depth = 10
+
+    def process(batch):
+        prepped = prepare_reads(batch, models, cfg)
+        results = run_eventalign(prepped, models, cfg, collect_text=True,
+                                 strict=strict)
+        return prepped, results
+
+    with AlignHRWriter(out_path) as w, \
+            ThreadPoolExecutor(max_workers=depth) as ex:
+        pending: deque = deque()
+
+        def drain(fut):
             nonlocal n_ok, n_fail
-            prepped = prepare_reads(batch, models, cfg)
-            results = run_eventalign(prepped, models, cfg, collect_text=True,
-                                     strict=strict)
+            prepped, results = fut.result()
             for p_ in prepped:
                 res = results.get(p_.record.read_id)
                 if res is not None and res.qc_passed and res.text:
@@ -345,13 +360,19 @@ def main_align(argv):
                 else:
                     n_fail += 1
             bar.display(n_ok + n_fail, n_fail)
+
+        batch = []
         for rec in src:
             batch.append(rec)
             if len(batch) >= 32:
-                flush(batch)
+                pending.append(ex.submit(process, batch))
                 batch = []
+                while len(pending) >= depth:
+                    drain(pending.popleft())
         if batch:
-            flush(batch)
+            pending.append(ex.submit(process, batch))
+        while pending:
+            drain(pending.popleft())
     bar.finish()
     log = os.path.splitext(out_path)[0] + ".align.log"
     with open(log, "w") as fh:
