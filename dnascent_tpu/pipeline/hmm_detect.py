@@ -90,17 +90,12 @@ def hmm_detect_reads(records, models: PoreModelSet,
         for p in prepped:
             rid = p.record.read_id
             if not p.passed or p.event_alignment.shape[0] == 0:
-                if stats is not None:
-                    stats.failed += 1
-                    stats.processed += 1
                 results[rid] = None
                 continue
             wins = _poi_windows(p, models, cfg, window)
             rec = p.record
             header = (f">{rid} {rec.contig} {rec.ref_start} {rec.ref_end} "
                       f"{rec.strand}\n")
-            if stats is not None:
-                stats.processed += 1
             if not wins:
                 results[rid] = header
                 continue
@@ -180,14 +175,35 @@ def hmm_detect_reads(records, models: PoreModelSet,
                     w += 1
                 results[p.record.read_id] = "".join(lines)
 
-        for p in prepped:
-            yield p.record.read_id, results[p.record.read_id]
+        return [(p.record.read_id, results[p.record.read_id])
+                for p in prepped]
 
-    batch = []
-    for rec in records:
-        batch.append(rec)
-        if len(batch) >= batch_size:
-            yield from flush(batch)
-            batch = []
-    if batch:
-        yield from flush(batch)
+    def emit(items):
+        for rid, text in items:
+            if stats is not None:
+                stats.processed += 1
+                if text is None:
+                    stats.failed += 1
+            yield rid, text
+
+    # batches software-pipelined like detect_reads: neighbouring batches'
+    # device waits and host numpy overlap; output stays in submission order
+    # (stats are counted on the consumer side — worker threads must not
+    # race the counters)
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    depth = 10
+    with ThreadPoolExecutor(max_workers=depth) as ex:
+        pending: deque = deque()
+        batch = []
+        for rec in records:
+            batch.append(rec)
+            if len(batch) >= batch_size:
+                pending.append(ex.submit(flush, batch))
+                batch = []
+                while len(pending) >= depth:
+                    yield from emit(pending.popleft().result())
+        if batch:
+            pending.append(ex.submit(flush, batch))
+        while pending:
+            yield from emit(pending.popleft().result())
